@@ -1,0 +1,20 @@
+# Development entry points.
+#
+# NOTE on this machine: a sitecustomize hook registers the axon TPU PJRT
+# plugin in EVERY python process when PALLAS_AXON_POOL_IPS is set, and
+# concurrent processes serialize on the TPU tunnel claim (multi-minute
+# blocking). CPU-only work (tests) must strip that variable; never run two
+# JAX processes concurrently.
+
+PY_CPU := env -u PALLAS_AXON_POOL_IPS python
+
+test:
+	$(PY_CPU) -m pytest tests/ -q
+
+test-fast:
+	$(PY_CPU) -m pytest tests/ -q -x
+
+bench:
+	python bench.py
+
+.PHONY: test test-fast bench

@@ -1,0 +1,276 @@
+"""Batched dataset-mAP kernel over a fixed detection pool (JAX, TPU-first).
+
+The reference computes dataset mAP (`ap_per_class`, /root/reference/lib/metrics.py:89-148)
+thousands of times over *overlapping subsets of the same detections*:
+  * reward.py's ORIE Monte-Carlo: 2 mAP evaluations per image over a random
+    ensemble of other images (reward.py:16-52) — 10k evaluations for COCO-val;
+  * test.py: one full-dataset mAP per offloading ratio, where each image
+    contributes either its weak or its strong detections (test.py:27-43).
+
+Both are the same computation: **mAP of a masked subset of a fixed pool**.
+This module exploits that. All detections of the dataset (weak and strong
+streams of every image) are preprocessed ONCE on the host into per-class,
+confidence-sorted, padded arrays (`DetectionPool`). A single jitted kernel,
+`map_from_masks`, then maps per-image inclusion masks -> mAP:
+
+  - a masked detection simply never advances the per-class TP/FP cumsums, so
+    masked-out rows duplicate the previous precision-recall point and drop out
+    of the 101-point interpolation exactly;
+  - per-class label counts come from one (num_img,) x (num_img, C) matmul
+    against a precomputed label histogram (MXU work, no label concatenation);
+  - the whole thing vmaps over thousands of mask vectors (ensemble samples or
+    offloading ratios) with zero re-sorting — the confidence order of any
+    subset of a sorted pool is the sorted order.
+
+Numerical semantics (101-point COCO interpolation, precision envelope,
+`eps=1e-16` recall denominator, classes skipped when unrepresented) replicate
+/root/reference/lib/metrics.py:89-148 to float tolerance; oracle parity is
+enforced in tests/test_map_kernel.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+EPS = 1e-16  # matches the reference's ap_per_class eps
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class DetectionPool:
+    """Fixed, per-class confidence-sorted detection pool for a whole dataset.
+
+    Built once on the host from per-image detection tuples; every subsequent
+    mAP evaluation is a pure function of per-image inclusion masks.
+
+    Shapes: C = number of classes with at least one detection or label,
+    K = max detections of any single class (weak + strong streams combined),
+    T = number of IoU thresholds, N = number of images.
+    """
+
+    tp: jax.Array  # (C, K, T) bool — TP flags in conf-descending order
+    img: jax.Array  # (C, K) int32 — source image of each detection
+    strong: jax.Array  # (C, K) bool — True if from the strong detector stream
+    valid: jax.Array  # (C, K) bool — padding mask
+    hist: jax.Array  # (N, C) float32 — per-image label-class histogram
+    class_ids: tuple  # (C,) static — original class id of each row
+
+    def tree_flatten(self):
+        # class_ids is aux data and must be hashable/comparable for the jit
+        # cache — keep it a tuple, never an ndarray.
+        return (self.tp, self.img, self.strong, self.valid, self.hist), (self.class_ids,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, aux[0])
+
+    @property
+    def num_images(self) -> int:
+        return self.hist.shape[0]
+
+    @property
+    def num_iou_thresholds(self) -> int:
+        return self.tp.shape[2]
+
+
+def build_pool(weak_data, strong_data, labels, num_classes: int | None = None) -> DetectionPool:
+    """Host-side construction of a DetectionPool.
+
+    :param weak_data: list over images of (tp (n, T) bool, conf (n,), cls (n,))
+        — the same processed-output triples the reference's `set_data` emits
+        (/root/reference/lib/data.py:46-84).
+    :param strong_data: same, for the strong detector.
+    :param labels: list over images of (m,) integer label-class arrays
+        (possibly empty).
+    :param num_classes: optional total class count; inferred if omitted.
+    :return: a DetectionPool on the default device.
+    """
+    n_img = len(labels)
+    assert len(weak_data) == n_img and len(strong_data) == n_img
+
+    all_cls: list[np.ndarray] = []
+    for tp, conf, cls in list(weak_data) + list(strong_data):
+        all_cls.append(np.asarray(cls, dtype=np.int64).reshape(-1))
+    for l in labels:
+        all_cls.append(np.asarray(l, dtype=np.int64).reshape(-1))
+    observed = np.unique(np.concatenate(all_cls)) if all_cls else np.array([], np.int64)
+    if num_classes is not None:
+        class_ids = np.arange(num_classes, dtype=np.int64)
+    else:
+        class_ids = observed
+    cls_pos = {int(c): i for i, c in enumerate(class_ids)}
+    C = max(len(class_ids), 1)
+
+    n_thresh = 1
+    for tp, _, _ in list(weak_data) + list(strong_data):
+        tp = np.asarray(tp)
+        if tp.size:
+            n_thresh = tp.shape[1]
+            break
+
+    # Flatten both streams into one row table.
+    rows_cls, rows_conf, rows_tp, rows_img, rows_strong = [], [], [], [], []
+    for is_strong, stream in ((False, weak_data), (True, strong_data)):
+        for i, (tp, conf, cls) in enumerate(stream):
+            cls = np.asarray(cls, dtype=np.int64).reshape(-1)
+            if cls.size == 0:
+                continue
+            tp = np.asarray(tp, dtype=bool).reshape(cls.size, -1)
+            rows_cls.append(np.array([cls_pos[int(c)] for c in cls], np.int64))
+            rows_conf.append(np.asarray(conf, np.float64).reshape(-1))
+            rows_tp.append(tp)
+            rows_img.append(np.full(cls.size, i, np.int32))
+            rows_strong.append(np.full(cls.size, is_strong, bool))
+
+    if rows_cls:
+        f_cls = np.concatenate(rows_cls)
+        f_conf = np.concatenate(rows_conf)
+        f_tp = np.concatenate(rows_tp)
+        f_img = np.concatenate(rows_img)
+        f_strong = np.concatenate(rows_strong)
+    else:
+        f_cls = np.zeros(0, np.int64)
+        f_conf = np.zeros(0)
+        f_tp = np.zeros((0, n_thresh), bool)
+        f_img = np.zeros(0, np.int32)
+        f_strong = np.zeros(0, bool)
+
+    counts = np.bincount(f_cls, minlength=C)
+    K = max(int(counts.max()) if counts.size else 1, 1)
+    # Round the lane axis up to the VPU lane width (128) — aligned tiles on
+    # TPU, and far fewer distinct shapes hitting the jit cache.
+    K = -(-K // 128) * 128
+
+    tp_a = np.zeros((C, K, n_thresh), bool)
+    img_a = np.zeros((C, K), np.int32)
+    strong_a = np.zeros((C, K), bool)
+    valid_a = np.zeros((C, K), bool)
+    for c in range(C):
+        sel = np.nonzero(f_cls == c)[0]
+        if sel.size == 0:
+            continue
+        # Confidence-descending; stable so row order breaks exact ties the
+        # same way run-to-run (the reference's per-sample quicksort leaves
+        # exact-tie order unspecified).
+        order = sel[np.argsort(-f_conf[sel], kind="stable")]
+        k = order.size
+        tp_a[c, :k] = f_tp[order]
+        img_a[c, :k] = f_img[order]
+        strong_a[c, :k] = f_strong[order]
+        valid_a[c, :k] = True
+
+    hist = np.zeros((n_img, C), np.float32)
+    for i, l in enumerate(labels):
+        l = np.asarray(l, dtype=np.int64).reshape(-1)
+        for c in l:
+            hist[i, cls_pos[int(c)]] += 1.0
+
+    return DetectionPool(
+        tp=jnp.asarray(tp_a),
+        img=jnp.asarray(img_a),
+        strong=jnp.asarray(strong_a),
+        valid=jnp.asarray(valid_a),
+        hist=jnp.asarray(hist),
+        class_ids=tuple(int(c) for c in class_ids),
+    )
+
+
+def ap_interp101(tpc: jax.Array, fpc: jax.Array, n_labels: jax.Array) -> jax.Array:
+    """AP (101-point COCO interpolation) from masked TP/FP cumsums.
+
+    :param tpc: (K,) cumulative true positives along the conf-sorted pool axis
+        (masked-out rows repeat the previous value).
+    :param fpc: (K,) cumulative false positives, same convention.
+    :param n_labels: scalar number of ground-truth objects of this class.
+    :return: scalar AP, matching the reference's `compute_ap(..., 'interp')`
+        (/root/reference/lib/metrics.py:127-148) including the [0,1]/[1,0]
+        sentinels and the precision envelope.
+    """
+    n_pred = tpc + fpc  # (K,) cumulative prediction count
+    precision = tpc / jnp.maximum(n_pred, EPS)
+    # Masked-out rows never advance the cumsums, so their (recall, precision)
+    # repeats the previous real point exactly. The reverse running max then
+    # forward-fills the precision envelope through them for free: a masked row
+    # between points k and k+1 sees max(prec_k, env_{k+1}) = env_k.
+    env = jax.lax.cummax(precision, axis=0, reverse=True)
+    # Rows before the first real point (n_pred == 0) sit at recall 0 and must
+    # carry the leading sentinel precision 1.0 so the (0,1) -> (r1, env1) ramp
+    # of np.interp survives duplicated x values (np.interp takes the LAST
+    # duplicate as the left neighbour of an interval).
+    y_curve = jnp.where(n_pred > 0, env, 1.0)
+
+    # Recall axis in SCALED INTEGER space: the reference compares the f64 grid
+    # k/100 against recall tpc/n_labels (its +1e-16 vanishes in f64 for any
+    # n_labels >= 1), and rational ties (tpc/n = k/100) hit np.interp's
+    # exact-duplicate branch. f32 can't reproduce those ties after division
+    # (4/5 != 80/100 as float32 expressions), so we compare tpc*100 vs
+    # k*n_labels instead — both exact integers below 2^24, preserving the
+    # reference's tie semantics bit-for-bit.
+    nl = jnp.maximum(n_labels, 1.0)  # guard the n_labels==0 row; zeroed below
+    xp = jnp.concatenate(
+        [jnp.zeros((1,), tpc.dtype), tpc * 100.0, nl[None] * 100.0]
+    )
+    one = jnp.ones((1,), tpc.dtype)
+    fp = jnp.concatenate([one, y_curve, jnp.zeros((1,), tpc.dtype)])
+
+    x = jnp.arange(101, dtype=tpc.dtype) * nl
+    y = jnp.interp(x, xp, fp)
+    # The grid point x=1.0 coincides with the trailing sentinel; np.interp
+    # returns fp[-1]=0 there, but jnp.interp returns the left duplicate when
+    # recall reaches exactly 1.0 — force the numpy semantics.
+    y = y.at[100].set(0.0)
+    # trapezoid rule on a uniform 0.01 grid
+    ap = (jnp.sum(y) - 0.5 * y[0]) * 0.01
+    # Reference skips classes with no predictions (ap_per_class:110-111).
+    return jnp.where(n_pred[-1] > 0, ap, 0.0)
+
+
+@partial(jax.jit, static_argnames=())
+def map_from_masks(
+    pool: DetectionPool,
+    weak_sel: jax.Array,
+    strong_sel: jax.Array,
+    label_sel: jax.Array,
+) -> jax.Array:
+    """Dataset mAP for one subset selection. vmap over mask batches for many.
+
+    :param pool: the fixed detection pool.
+    :param weak_sel: (N,) bool — images contributing their weak detections.
+    :param strong_sel: (N,) bool — images contributing their strong detections.
+    :param label_sel: (N,) bool — images contributing their ground-truth labels.
+    :return: scalar mAP = mean AP over (classes with labels) x (IoU thresholds),
+        NaN when no selected image has labels (the reference maps NaN -> 0 at
+        the reward level, reward.py:86).
+    """
+    dtype = jnp.float32
+    nt = jnp.matmul(label_sel.astype(dtype), pool.hist, preferred_element_type=dtype)  # (C,)
+    sel = jnp.where(pool.strong, strong_sel[pool.img], weak_sel[pool.img])
+    m = (sel & pool.valid).astype(dtype)  # (C, K)
+
+    def per_class(tp_ck, m_c, nt_c):
+        # tp_ck: (K, T); m_c: (K,); nt_c: scalar
+        inc = tp_ck.astype(dtype) * m_c[:, None]
+        tpc = jnp.cumsum(inc, axis=0)  # (K, T)
+        npred = jnp.cumsum(m_c)  # (K,)
+        fpc = npred[:, None] - tpc
+        return jax.vmap(lambda t, f: ap_interp101(t, f, nt_c), in_axes=1)(tpc, fpc)
+
+    ap = jax.vmap(per_class)(pool.tp, m, nt)  # (C, T)
+    has_labels = (nt > 0).astype(dtype)
+    denom = jnp.sum(has_labels) * ap.shape[1]
+    return jnp.sum(ap * has_labels[:, None]) / denom  # NaN when denom == 0
+
+
+def dataset_map(pool: DetectionPool, offload_mask: jax.Array) -> jax.Array:
+    """mAP when `offload_mask[i]` images use strong detections, others weak.
+
+    This is the inner evaluation of the reference's test.py:40-42.
+    """
+    n = pool.num_images
+    ones = jnp.ones((n,), bool)
+    return map_from_masks(pool, ~offload_mask, offload_mask, ones)

@@ -1,0 +1,137 @@
+"""Offloading-reward kernels: ORIE / ORI (Monte-Carlo ensemble mAP) and DCSB.
+
+TPU-first rebuild of /root/reference/reward.py:16-69. The reference fans the
+per-image reward out over a ThreadPoolExecutor and, per image, concatenates
+ensemble detections and runs two full `ap_per_class` evaluations (reward.py:40-50)
+— O(num_img) NumPy mAP evaluations over ~(E+1)-image arrays.
+
+Here the whole Monte-Carlo grid is one batched device computation:
+  * detections are preprocessed once into a per-class sorted DetectionPool;
+  * each (image, ensemble draw) is just a pair of per-image inclusion masks;
+  * `map_from_masks` vmaps over images, sharded across chips on the image axis
+    (see edgeml_tpu.parallel) — no re-concatenation, no re-sorting, ever.
+
+RNG: the reference samples ensembles with the *unseeded* global NumPy RNG
+(reward.py:38), so its rewards are nondeterministic run-to-run. We use
+counter-based `jax.random` keys folded per image: deterministic given --seed,
+statistically equivalent (documented divergence, SURVEY.md section 5.2).
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.map_kernel import DetectionPool, build_pool, map_from_masks
+
+
+@partial(jax.jit, static_argnames=("num_ensemble",))
+def _orie_batch(
+    pool: DetectionPool,
+    img_idx: jax.Array,  # (B,) int32
+    key: jax.Array,
+    num_ensemble: int,
+) -> jax.Array:
+    """ORIE for a batch of images. Returns (B,) rewards (NaN -> 0 applied)."""
+    n = pool.num_images
+
+    def one(i, k):
+        # Sample `num_ensemble` distinct other images (reward.py:35-38):
+        # permutation of [0, n-2], indices >= i shifted up by one.
+        perm = jax.random.permutation(k, n - 1)
+        ens = jnp.where(perm >= i, perm + 1, perm)[: max(num_ensemble, 0)]
+        in_ens = jnp.zeros((n,), bool).at[ens].set(True)
+        lmask = in_ens.at[i].set(True)
+        zeros = jnp.zeros((n,), bool)
+        weak_map = map_from_masks(pool, lmask, zeros, lmask)
+        strong_map = map_from_masks(pool, in_ens, zeros.at[i].set(True), lmask)
+        r = (strong_map - weak_map) * (num_ensemble + 1)
+        return jnp.where(jnp.isnan(r), 0.0, r)
+
+    keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(img_idx)
+    return jax.vmap(one)(img_idx, keys)
+
+
+def orie_rewards(
+    weak_data,
+    strong_data,
+    labels,
+    num_ensemble: int = 1000,
+    seed: int = 0,
+    batch: int | None = None,
+    pool: DetectionPool | None = None,
+    verbose: bool = False,
+) -> np.ndarray:
+    """ORIE reward for every image (ORI when num_ensemble=0).
+
+    Args mirror /root/reference/reward.py:16-52; inputs are the `set_data`
+    triples. Edge-case handling matches the reference: num_ensemble is clamped
+    to [0, num_img - 1] with a warning (reward.py:29-34), NaN rewards (no
+    labelled image in the ensemble) become 0 (reward.py:86).
+    """
+    if pool is None:
+        pool = build_pool(weak_data, strong_data, labels)
+    n = pool.num_images
+    if num_ensemble > n - 1:
+        num_ensemble = n - 1
+        print("Ensemble size is too large. Set to the dataset size.")
+    if num_ensemble < 0:
+        num_ensemble = 0
+        print("Ensemble size is negative. Set to 0.")
+
+    if batch is None:
+        # Size batches so per-batch live intermediates stay well under HBM:
+        # the per-class AP pass materializes ~4 (C, K, T) f32 arrays per image.
+        c, k, t = pool.tp.shape
+        per_img = max(4 * c * k * t * 4, 1)
+        batch = int(min(max(64 * 2**20 // per_img, 1), 4096))
+
+    key = jax.random.PRNGKey(seed)
+    out = np.zeros((n,), np.float32)
+    for s in range(0, n, batch):
+        e = min(s + batch, n)
+        idx = jnp.arange(s, e, dtype=jnp.int32)
+        out[s:e] = np.asarray(_orie_batch(pool, idx, key, num_ensemble))
+        if verbose:
+            for i in range(s, e):
+                print(f"ORIE for image {i}: {out[i]:.2f}.")
+    return out
+
+
+def dcsb_rewards(weak_data, strong_data, conf_thresh: float = 0.5) -> np.ndarray:
+    """DCSB reward: strong-count minus weak-count of confident detections.
+
+    Parity with /root/reference/reward.py:55-69 (strict `conf > 0.5`).
+    """
+    out = np.zeros((len(weak_data),), np.int64)
+    for i, (w, s) in enumerate(zip(weak_data, strong_data)):
+        out[i] = int(np.sum(np.asarray(s[1]) > conf_thresh)) - int(
+            np.sum(np.asarray(w[1]) > conf_thresh)
+        )
+    return out
+
+
+def compute_rewards(
+    weak_data,
+    strong_data,
+    labels,
+    method: str = "orie",
+    num_ensemble: int = 1000,
+    seed: int = 0,
+    verbose: bool = False,
+):
+    """Full reward computation with the wall-time measurement the reference
+    persists in the output npz (reward.py:76-92). Returns (reward, seconds)."""
+    start = time.perf_counter()
+    if method == "orie":
+        reward = orie_rewards(
+            weak_data, strong_data, labels, num_ensemble, seed, verbose=verbose
+        )
+    else:
+        reward = dcsb_rewards(weak_data, strong_data).astype(int)
+    reward = np.where(np.isnan(reward), 0, reward)
+    return reward, time.perf_counter() - start

@@ -1,0 +1,66 @@
+"""Calculate the offloading reward value for each image in a dataset.
+
+CLI-compatible rebuild of /root/reference/reward.py (same positional args,
+--method/--num-ensemble flags, and orie{E}.npz / dcsb.npz output with
+`reward` and `time` keys). The computation runs as a batched JAX kernel on
+the accelerator instead of a CPU thread pool; see edgeml_tpu/reward/orie.py.
+
+Extra flags beyond the reference: --seed (the reference's ensemble sampling is
+unseeded and nondeterministic; ours is deterministic given the seed) and
+--verbose (per-image reward printing, which the reference always does).
+"""
+
+import argparse
+import os
+from pathlib import Path
+
+import numpy as np
+
+from edgeml_tpu.data import set_data
+from edgeml_tpu.reward import compute_rewards
+
+
+def main(opts):
+    weak_data, strong_data, labels = set_data(
+        opts.weak_dir, opts.strong_dir, opts.label_dir
+    )
+    reward, execution_time = compute_rewards(
+        weak_data,
+        strong_data,
+        labels,
+        method=opts.method,
+        num_ensemble=opts.num_ensemble,
+        seed=opts.seed,
+        verbose=opts.verbose,
+    )
+    print(
+        f"Program takes {execution_time:.1f} seconds "
+        f"({execution_time / 60:.1f}m/{execution_time / 3600:.2f}h)."
+    )
+    Path(opts.save_dir).mkdir(parents=True, exist_ok=True)
+    file_name = (
+        f"orie{opts.num_ensemble}.npz" if opts.method == "orie" else "dcsb.npz"
+    )
+    np.savez(os.path.join(opts.save_dir, file_name), reward=reward, time=execution_time)
+
+
+def getargs():
+    """Parse command line arguments."""
+    args = argparse.ArgumentParser()
+    args.add_argument('weak_dir', help="Directory to the weak detector output files.")
+    args.add_argument('strong_dir', help="Directory to the strong detector output files.")
+    args.add_argument('label_dir', help="Directory to the ground truth annotations.")
+    args.add_argument('save_dir', help="Directory to save the computed offloading rewards.")
+    args.add_argument('--method', type=str, default="orie", choices=['orie', 'dcsb'],
+                      help="Method used to compute the offloading reward.")
+    args.add_argument('--num-ensemble', type=int, default=1000,
+                      help="Number of ensemble images when computing the offloading reward, only active when method"
+                           "is 'orie', in which case setting num-ensemble to 0 yields ORI as the reward metric.")
+    args.add_argument('--seed', type=int, default=0,
+                      help="Seed for the ensemble sampling RNG (deterministic, unlike the reference).")
+    args.add_argument('--verbose', action='store_true', help="Print per-image rewards.")
+    return args.parse_args()
+
+
+if __name__ == '__main__':
+    main(getargs())

@@ -1,0 +1,47 @@
+"""Test the performance of reward estimation(s): realized mAP vs offloading ratio.
+
+CLI-compatible rebuild of /root/reference/test.py (same positional args,
+--estimates flag, and test_map.npy output of shape (n_estimates, 11)).
+All 11 ratio evaluations run as one vmapped dataset-mAP kernel on the
+accelerator; see edgeml_tpu/eval.py.
+"""
+
+import argparse
+import os
+from pathlib import Path
+
+import numpy as np
+
+from edgeml_tpu.data import set_data
+from edgeml_tpu.eval import test_map
+
+
+def main(opts):
+    weak_data, strong_data, labels = set_data(
+        opts.weak_dir, opts.strong_dir, opts.label_dir
+    )
+    dataset_split = np.load(opts.split_path)
+    estimates = []
+    if isinstance(opts.estimates, list):
+        estimates = opts.estimates
+    elif opts.estimates is not None:
+        estimates = [opts.estimates]
+    map_result = test_map(weak_data, strong_data, labels, estimates, dataset_split)
+    Path(opts.save_dir).mkdir(parents=True, exist_ok=True)
+    np.save(os.path.join(opts.save_dir, "test_map.npy"), map_result)
+
+
+def getargs():
+    """Parse command line arguments."""
+    args = argparse.ArgumentParser()
+    args.add_argument('weak_dir', help="Directory to the weak detector output files.")
+    args.add_argument('strong_dir', help="Directory to the strong detector output files.")
+    args.add_argument('label_dir', help="Directory to the ground truth annotations.")
+    args.add_argument('split_path', help="Path to the dataset split (for cross validation).")
+    args.add_argument('save_dir', help="Directory to save the achieved mAP.")
+    args.add_argument('--estimates', nargs='+', type=str, help='Directories to the reward estimation file(s).')
+    return args.parse_args()
+
+
+if __name__ == '__main__':
+    main(getargs())

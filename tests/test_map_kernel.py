@@ -1,0 +1,99 @@
+"""Parity tests: the batched masked-mAP kernel vs the NumPy oracle."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from edgeml_tpu.ops.map_kernel import build_pool, map_from_masks, dataset_map
+from oracle import make_random_dataset, masked_map
+
+
+def _compare(weak, strong, labels, wsel, ssel, lsel, atol=2e-5):
+    pool = build_pool(weak, strong, labels)
+    got = float(
+        map_from_masks(
+            pool, jnp.asarray(wsel), jnp.asarray(ssel), jnp.asarray(lsel)
+        )
+    )
+    want = masked_map(weak, strong, labels, wsel, ssel, lsel)
+    if np.isnan(want):
+        assert np.isnan(got)
+    else:
+        assert got == pytest.approx(want, abs=atol)
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_full_dataset_map_fuzz(seed):
+    rng = np.random.default_rng(seed)
+    weak, strong, labels = make_random_dataset(rng)
+    n = len(labels)
+    ones = np.ones(n, bool)
+    zeros = np.zeros(n, bool)
+    _compare(weak, strong, labels, ones, zeros, ones)
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_random_subset_map_fuzz(seed):
+    rng = np.random.default_rng(100 + seed)
+    weak, strong, labels = make_random_dataset(rng, n_img=16)
+    n = len(labels)
+    wsel = rng.random(n) < 0.6
+    ssel = rng.random(n) < 0.3
+    lsel = wsel | ssel
+    _compare(weak, strong, labels, wsel, ssel, lsel)
+
+
+def test_mixed_offload_equals_oracle():
+    rng = np.random.default_rng(7)
+    weak, strong, labels = make_random_dataset(rng, n_img=10)
+    n = len(labels)
+    off = rng.random(n) < 0.5
+    pool = build_pool(weak, strong, labels)
+    got = float(dataset_map(pool, jnp.asarray(off)))
+    want = masked_map(weak, strong, labels, ~off, off, np.ones(n, bool))
+    assert got == pytest.approx(want, abs=2e-5)
+
+
+def test_no_labels_gives_nan():
+    rng = np.random.default_rng(3)
+    weak, strong, _ = make_random_dataset(rng, n_img=4)
+    labels = [np.zeros(0, int)] * 4
+    ones = np.ones(4, bool)
+    pool = build_pool(weak, strong, labels)
+    got = float(map_from_masks(pool, jnp.asarray(ones), jnp.asarray(~ones), jnp.asarray(ones)))
+    assert np.isnan(got)
+
+
+def test_no_detections_gives_zero():
+    labels = [np.array([0, 1]), np.array([2])]
+    empty = [(np.zeros((0, 1), bool), np.array([]), np.array([])),
+             (np.zeros((0, 1), bool), np.array([]), np.array([]))]
+    pool = build_pool(empty, empty, labels)
+    ones = jnp.ones(2, bool)
+    got = float(map_from_masks(pool, ones, ~ones, ones))
+    assert got == 0.0
+
+
+def test_multi_threshold_axis():
+    rng = np.random.default_rng(11)
+    weak, strong, labels = make_random_dataset(rng, n_img=8, t=3)
+    n = len(labels)
+    ones = np.ones(n, bool)
+    zeros = np.zeros(n, bool)
+    _compare(weak, strong, labels, ones, zeros, ones)
+
+
+def test_vmap_over_masks():
+    rng = np.random.default_rng(13)
+    weak, strong, labels = make_random_dataset(rng, n_img=10)
+    n = len(labels)
+    pool = build_pool(weak, strong, labels)
+    masks = rng.random((6, n)) < 0.5
+    batched = jax.vmap(lambda m: dataset_map(pool, m))(jnp.asarray(masks))
+    for k in range(6):
+        want = masked_map(
+            weak, strong, labels, ~masks[k], masks[k], np.ones(n, bool)
+        )
+        assert float(batched[k]) == pytest.approx(want, abs=2e-5)
