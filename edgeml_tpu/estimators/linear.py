@@ -42,14 +42,8 @@ class LROpt:
     """Options for plain linear regression (none — kept for symmetry)."""
 
 
-class _LR:
-    def fit(self, x, y):
-        xj = jnp.asarray(x, _f32)
-        yj = jnp.asarray(y, _f32)
-        xm, ym = xj.mean(0), yj.mean()
-        w, *_ = jnp.linalg.lstsq(xj - xm, yj - ym)
-        b = ym - xm @ w
-        return {"w": np.asarray(w), "b": float(b)}
+class _LinearModel:
+    """Shared predict for models with a {'w', 'b'} state."""
 
     @staticmethod
     @jax.jit
@@ -60,6 +54,16 @@ class _LR:
         return self._pred(
             jnp.asarray(state["w"], _f32), _f32(state["b"]), jnp.asarray(x, _f32)
         )
+
+
+class _LR(_LinearModel):
+    def fit(self, x, y):
+        xj = jnp.asarray(x, _f32)
+        yj = jnp.asarray(y, _f32)
+        xm, ym = xj.mean(0), yj.mean()
+        w, *_ = jnp.linalg.lstsq(xj - xm, yj - ym)
+        b = ym - xm @ w
+        return {"w": np.asarray(w), "b": float(b)}
 
 
 def fit_LR(data, save_opts: SaveOpt | None = None):
@@ -113,7 +117,7 @@ def _en_fista(x, y, alpha, l1_ratio, max_iter):
     return w
 
 
-class _EN:
+class _EN(_LinearModel):
     def __init__(self, opts: ENOpt):
         self.opts = opts
 
@@ -127,9 +131,6 @@ class _EN:
         )
         b = ym - xm @ w
         return {"w": np.asarray(w), "b": float(b)}
-
-    predict = _LR.predict
-    _pred = _LR._pred
 
 
 def fit_EN(data, opts: ENOpt = _ENOPT, save_opts: SaveOpt | None = None):
@@ -193,7 +194,7 @@ def _br_solve(x, y, a1, a2, l1, l2, n_iter, tol):
     return coef(alpha, lam)
 
 
-class _BR:
+class _BR(_LinearModel):
     def __init__(self, opts: BROpt):
         self.opts = opts
 
@@ -208,9 +209,6 @@ class _BR:
         )
         b = ym - xm @ w
         return {"w": np.asarray(w), "b": float(b)}
-
-    predict = _LR.predict
-    _pred = _LR._pred
 
 
 def fit_BR(data, opts: BROpt = _BROPT, save_opts: SaveOpt | None = None):
@@ -266,7 +264,7 @@ def _sgd_fit(x, y, alpha, eta0, power_t, key, max_epochs):
     return w, b
 
 
-class _SGD:
+class _SGD(_LinearModel):
     def __init__(self, opts: SGDOpt):
         self.opts = opts
 
@@ -277,9 +275,6 @@ class _SGD:
             o.power_t, jax.random.PRNGKey(o.seed), o.max_epochs,
         )
         return {"w": np.asarray(w), "b": float(b)}
-
-    predict = _LR.predict
-    _pred = _LR._pred
 
 
 def fit_SGD(data, opts: SGDOpt = _SGDOPT, save_opts: SaveOpt | None = None):
@@ -410,7 +405,7 @@ def fit_SVR(data, opts: SVROpt = _SVROPT, save_opts: SaveOpt | None = None):
     return fit_model(_SVR(opts), "Support Vector Regression", data, save_opts)
 
 
-class _LSVR:
+class _LSVR(_LinearModel):
     def __init__(self, opts: LSVROpt):
         self.opts = opts
 
@@ -421,9 +416,6 @@ class _LSVR:
             o.max_iter,
         )
         return {"w": np.asarray(w), "b": float(b)}
-
-    predict = _LR.predict
-    _pred = _LR._pred
 
 
 def fit_LSVR(data, opts: LSVROpt = _LSVROPT, save_opts: SaveOpt | None = None):

@@ -11,15 +11,15 @@ import numpy as np
 def parse_path(path: str) -> tuple[str, str]:
     """Derive the '{name}_best' / '{name}_last' sibling directories.
 
-    Parity with /root/reference/lib/utils.py:8-22 (empty input -> empty pair).
+    Parity with /root/reference/lib/utils.py:8-22 (empty input -> empty pair)
+    for relative paths. Deliberate divergence: the reference's split/rejoin
+    drops the leading separator of absolute paths (writing to a CWD-relative
+    location); here absolute paths stay absolute.
     """
     if path == "":
         return "", ""
-    parts = os.path.normpath(path).split(os.sep)
-    name = parts[-1]
-    best = os.path.join(*parts[:-1], name + "_best") if len(parts) > 1 else name + "_best"
-    last = os.path.join(*parts[:-1], name + "_last") if len(parts) > 1 else name + "_last"
-    return best, last
+    head, name = os.path.split(os.path.normpath(path))
+    return os.path.join(head, name + "_best"), os.path.join(head, name + "_last")
 
 
 def save_result(path: str, result: dict, index: int) -> None:
