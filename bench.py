@@ -1,0 +1,176 @@
+"""Headline benchmark: ORIE reward throughput (images/sec), TPU vs reference.
+
+Reproduces the reference's hot path (/root/reference/reward.py:16-52: per
+image, sample a 1000-image ensemble and evaluate dataset mAP twice) on a
+synthetic COCO-scale workload, and compares:
+
+  * baseline: a faithful NumPy/ThreadPoolExecutor implementation of the
+    reference algorithm (re-derived, same math: per-sample concatenation,
+    confidence sort, per-class PR curves, 101-point interpolated AP),
+    measured on a subset and extrapolated (it is >100x slower);
+  * ours: the batched DetectionPool kernel on the default JAX device
+    (the real TPU chip under the driver; warmup excluded so the one-time
+    XLA compile is not billed to steady-state throughput).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Diagnostics go to stderr.
+"""
+
+import json
+import os
+import sys
+import time
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+# Workload shape (COCO-val-like): override via env for experiments.
+N_IMG = int(os.environ.get("BENCH_N_IMG", 2048))
+N_CLS = int(os.environ.get("BENCH_N_CLS", 80))
+DETS_PER_IMG = int(os.environ.get("BENCH_DETS", 16))
+LABELS_PER_IMG = int(os.environ.get("BENCH_LABELS", 8))
+NUM_ENSEMBLE = int(os.environ.get("BENCH_ENSEMBLE", 1000))
+BASELINE_SUBSET = int(os.environ.get("BENCH_BASELINE_SUBSET", 24))
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def make_workload(rng):
+    """set_data-format triples with matching-consistent TP flags."""
+    weak, strong, labels = [], [], []
+    for _ in range(N_IMG):
+        m = rng.integers(max(LABELS_PER_IMG // 2, 1), LABELS_PER_IMG * 2 + 1)
+        lab = rng.integers(0, N_CLS, size=m)
+        labels.append(lab)
+        for out, skill in ((weak, 0.35), (strong, 0.6)):
+            n = rng.integers(max(DETS_PER_IMG // 2, 1), DETS_PER_IMG * 2 + 1)
+            cls = rng.integers(0, N_CLS, size=n)
+            tp = rng.random((n, 1)) < skill
+            for c in np.unique(cls):
+                cap = int(np.sum(lab == c))
+                rows = np.nonzero(cls == c)[0]
+                hot = rows[tp[rows, 0]]
+                if len(hot) > cap:
+                    tp[hot[cap:], 0] = False
+            out.append((tp, rng.random(n), cls))
+    return weak, strong, labels
+
+
+# --- Reference-equivalent NumPy baseline (re-derived from the math spec) ----
+
+
+def np_ap_table(tp, conf, cls, target_cls):
+    order = np.argsort(-conf)
+    tp, cls = tp[order], cls[order]
+    classes, counts = np.unique(target_cls, return_counts=True)
+    ap = np.zeros((len(classes), tp.shape[1]))
+    grid = np.linspace(0, 1, 101)
+    for ci, c in enumerate(classes):
+        sel = cls == c
+        if not sel.any():
+            continue
+        for t in range(tp.shape[1]):
+            f = tp[sel, t].astype(float)
+            tpc, fpc = np.cumsum(f), np.cumsum(1 - f)
+            rec = tpc / (counts[ci] + 1e-16)
+            pre = tpc / (tpc + fpc)
+            xs = np.concatenate(([0.0], rec, [1.0]))
+            ys = np.concatenate(([1.0], pre, [0.0]))
+            ys = np.flip(np.maximum.accumulate(np.flip(ys)))
+            ap[ci, t] = np.trapezoid(np.interp(grid, xs, ys), grid)
+    return ap
+
+
+def np_orie_one(i, weak, strong, labels, num_ensemble, rng):
+    n = len(labels)
+    e = min(num_ensemble, n - 1)
+    pool_idx = np.arange(n - 1)
+    if i < n - 1:
+        pool_idx[i:] += 1
+    ens = rng.permutation(pool_idx)[:e]
+    tgt = np.concatenate([labels[s] for s in ens] + [labels[i]])
+    parts = [weak[s] for s in ens]
+    weak_all = parts + [weak[i]]
+    strong_all = parts + [strong[i]]
+    maps = []
+    for dets in (weak_all, strong_all):
+        tp = np.concatenate([d[0] for d in dets])
+        conf = np.concatenate([d[1] for d in dets])
+        cls = np.concatenate([d[2] for d in dets])
+        maps.append(np.mean(np_ap_table(tp, conf, cls, tgt)))
+    return (maps[1] - maps[0]) * (e + 1)
+
+
+def run_baseline(weak, strong, labels):
+    rng = np.random.default_rng(0)
+    idx = list(range(BASELINE_SUBSET))
+    start = time.perf_counter()
+    with ThreadPoolExecutor() as pool:  # the reference's fan-out (reward.py:78)
+        list(
+            pool.map(
+                lambda i: np_orie_one(i, weak, strong, labels, NUM_ENSEMBLE, rng),
+                idx,
+            )
+        )
+    elapsed = time.perf_counter() - start
+    ips = BASELINE_SUBSET / elapsed
+    log(
+        f"baseline (NumPy/TPE, {BASELINE_SUBSET} imgs): {elapsed:.2f}s "
+        f"-> {ips:.2f} img/s"
+    )
+    return ips
+
+
+def run_ours(weak, strong, labels):
+    from edgeml_tpu.ops.map_kernel import build_pool
+    from edgeml_tpu.reward import orie_rewards
+
+    import jax
+
+    log(f"devices: {jax.devices()}")
+    t0 = time.perf_counter()
+    pool = build_pool(weak, strong, labels)
+    log(
+        f"pool build (host prep): {time.perf_counter() - t0:.2f}s, "
+        f"shape C={pool.tp.shape[0]} K={pool.tp.shape[1]}"
+    )
+
+    # Warm up: compile the batched kernel (one-time, cached).
+    t0 = time.perf_counter()
+    orie_rewards(weak, strong, labels, NUM_ENSEMBLE, seed=0, pool=pool)
+    log(f"warmup incl. compile: {time.perf_counter() - t0:.2f}s")
+
+    t0 = time.perf_counter()
+    r = orie_rewards(weak, strong, labels, NUM_ENSEMBLE, seed=1, pool=pool)
+    elapsed = time.perf_counter() - t0
+    ips = N_IMG / elapsed
+    log(f"ours ({N_IMG} imgs): {elapsed:.2f}s -> {ips:.1f} img/s")
+    log(f"reward stats: mean {r.mean():.4f} std {r.std():.4f}")
+    return ips
+
+
+def main():
+    rng = np.random.default_rng(7)
+    log(
+        f"workload: {N_IMG} imgs, {N_CLS} classes, ~{DETS_PER_IMG} dets/img, "
+        f"E={NUM_ENSEMBLE}"
+    )
+    weak, strong, labels = make_workload(rng)
+    baseline_ips = run_baseline(weak, strong, labels)
+    ours_ips = run_ours(weak, strong, labels)
+    print(
+        json.dumps(
+            {
+                "metric": "orie_reward_throughput",
+                "value": round(ours_ips, 2),
+                "unit": "images/sec (E=1000, COCO-val-scale synthetic)",
+                "vs_baseline": round(ours_ips / baseline_ips, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

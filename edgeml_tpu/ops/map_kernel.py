@@ -204,28 +204,43 @@ def ap_interp101(tpc: jax.Array, fpc: jax.Array, n_labels: jax.Array) -> jax.Arr
     # duplicate as the left neighbour of an interval).
     y_curve = jnp.where(n_pred > 0, env, 1.0)
 
-    # Recall axis in SCALED INTEGER space: the reference compares the f64 grid
-    # k/100 against recall tpc/n_labels (its +1e-16 vanishes in f64 for any
-    # n_labels >= 1), and rational ties (tpc/n = k/100) hit np.interp's
-    # exact-duplicate branch. f32 can't reproduce those ties after division
-    # (4/5 != 80/100 as float32 expressions), so we compare tpc*100 vs
-    # k*n_labels instead — both exact integers below 2^24, preserving the
-    # reference's tie semantics bit-for-bit.
+    # The reference evaluates np.interp of the envelope curve at the f64 grid
+    # k/100 and trapz-integrates (metrics.py:141-143). Two tricks make the
+    # same 101 values exact AND fast on TPU:
+    #
+    # 1. SCALED INTEGER recall axis: recall ties (tpc/n_labels == k/100) hit
+    #    np.interp's exact-duplicate branch in f64, which f32 division cannot
+    #    reproduce. Comparing 100*tpc against k*n_labels instead keeps every
+    #    comparison on exact integers below 2^24.
+    # 2. CLOSED-FORM SEGMENT SUMS instead of per-grid-point search: each
+    #    consecutive-row segment [x_j, x_{j+1}) of the curve owns the grid
+    #    points ceil(x_j/nl) <= k < ceil(x_{j+1}/nl), whose interpolated
+    #    values form an arithmetic series — O(K) elementwise work total,
+    #    no searchsorted, no scatter. Left-closed intervals reproduce
+    #    np.interp's duplicate-x semantics (the LAST duplicate is the left
+    #    neighbour, the FIRST duplicate the right one), and the grid point
+    #    k=100 coincides with the trailing (1, 0) sentinel, hence y_100 = 0.
     nl = jnp.maximum(n_labels, 1.0)  # guard the n_labels==0 row; zeroed below
-    xp = jnp.concatenate(
-        [jnp.zeros((1,), tpc.dtype), tpc * 100.0, nl[None] * 100.0]
-    )
+    zero = jnp.zeros((1,), tpc.dtype)
     one = jnp.ones((1,), tpc.dtype)
-    fp = jnp.concatenate([one, y_curve, jnp.zeros((1,), tpc.dtype)])
+    x = jnp.concatenate([zero, tpc * 100.0, nl[None] * 100.0])  # (K+2,)
+    y = jnp.concatenate([one, y_curve, zero])
 
-    x = jnp.arange(101, dtype=tpc.dtype) * nl
-    y = jnp.interp(x, xp, fp)
-    # The grid point x=1.0 coincides with the trailing sentinel; np.interp
-    # returns fp[-1]=0 there, but jnp.interp returns the left duplicate when
-    # recall reaches exactly 1.0 — force the numpy semantics.
-    y = y.at[100].set(0.0)
-    # trapezoid rule on a uniform 0.01 grid
-    ap = (jnp.sum(y) - 0.5 * y[0]) * 0.01
+    x0, x1 = x[:-1], x[1:]
+    y0, y1 = y[:-1], y[1:]
+    klo = jnp.ceil(x0 / nl)
+    khi = jnp.minimum(jnp.ceil(x1 / nl), 100.0)
+    m = jnp.maximum(khi - klo, 0.0)  # grid points inside [x_j, x_{j+1})
+    has = (m > 0.0) & (x1 > x0)
+    slope = jnp.where(has, (y1 - y0) / jnp.maximum(x1 - x0, 1.0), 0.0)
+    sum_k = (klo + khi - 1.0) * m * 0.5  # sum of k over the segment
+    seg = y0 * m + slope * (nl * sum_k - x0 * m)
+    total = jnp.sum(jnp.where(m > 0.0, seg, 0.0))
+    # y at grid point 0 (for the trapezoid end correction): the unique
+    # segment with klo == 0 and m > 0 contains it.
+    owns0 = (klo == 0.0) & (m > 0.0)
+    y_at_0 = jnp.sum(jnp.where(owns0, y0 - slope * x0, 0.0))
+    ap = (total - 0.5 * y_at_0) * 0.01
     # Reference skips classes with no predictions (ap_per_class:110-111).
     return jnp.where(n_pred[-1] > 0, ap, 0.0)
 

@@ -38,18 +38,28 @@ def _orie_batch(
 ) -> jax.Array:
     """ORIE for a batch of images. Returns (B,) rewards (NaN -> 0 applied)."""
     n = pool.num_images
+    e = max(num_ensemble, 0)
+    img_range = jnp.arange(n)
 
     def one(i, k):
-        # Sample `num_ensemble` distinct other images (reward.py:35-38):
-        # permutation of [0, n-2], indices >= i shifted up by one.
-        perm = jax.random.permutation(k, n - 1)
-        ens = jnp.where(perm >= i, perm + 1, perm)[: max(num_ensemble, 0)]
-        in_ens = jnp.zeros((n,), bool).at[ens].set(True)
-        lmask = in_ens.at[i].set(True)
+        # Sample `num_ensemble` distinct other images, uniformly without
+        # replacement (statistically identical to the reference's
+        # permutation-prefix draw, reward.py:35-38): draw one uniform per
+        # image, exclude the target, keep the E smallest. No permutation,
+        # no scatter — one top_k and a comparison (TPU-friendly).
+        is_target = img_range == i
+        u = jax.random.uniform(k, (n,))
+        u = jnp.where(is_target, 2.0, u)
+        if e > 0:
+            kth = -jax.lax.top_k(-u, e)[0][e - 1]  # e-th smallest
+            in_ens = u <= kth
+        else:
+            in_ens = jnp.zeros((n,), bool)
+        lmask = in_ens | is_target
         zeros = jnp.zeros((n,), bool)
         weak_map = map_from_masks(pool, lmask, zeros, lmask)
-        strong_map = map_from_masks(pool, in_ens, zeros.at[i].set(True), lmask)
-        r = (strong_map - weak_map) * (num_ensemble + 1)
+        strong_map = map_from_masks(pool, in_ens, is_target, lmask)
+        r = (strong_map - weak_map) * (e + 1)
         return jnp.where(jnp.isnan(r), 0.0, r)
 
     keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(img_idx)
@@ -65,6 +75,7 @@ def orie_rewards(
     batch: int | None = None,
     pool: DetectionPool | None = None,
     verbose: bool = False,
+    mesh=None,
 ) -> np.ndarray:
     """ORIE reward for every image (ORI when num_ensemble=0).
 
@@ -72,6 +83,10 @@ def orie_rewards(
     triples. Edge-case handling matches the reference: num_ensemble is clamped
     to [0, num_img - 1] with a warning (reward.py:29-34), NaN rewards (no
     labelled image in the ensemble) become 0 (reward.py:86).
+
+    :param mesh: optional jax.sharding.Mesh with a 'dp' axis. The image axis
+        of each Monte-Carlo batch is sharded across it (pool replicated) —
+        the multi-chip scaling axis of SURVEY.md section 5.7.
     """
     if pool is None:
         pool = build_pool(weak_data, strong_data, labels)
@@ -84,18 +99,34 @@ def orie_rewards(
         print("Ensemble size is negative. Set to 0.")
 
     if batch is None:
-        # Size batches so per-batch live intermediates stay well under HBM:
-        # the per-class AP pass materializes ~4 (C, K, T) f32 arrays per image.
+        # Size batches so per-batch live intermediates fit HBM comfortably:
+        # the per-class AP pass materializes ~8 (C, K, T) f32 arrays per image
+        # (cumsums, precision, envelope, interp operands) x2 (weak+strong).
+        # Cap at 512: device time per launch is tiny (the tunnel dispatch
+        # dominates), but XLA compile time grows with the vmap width.
         c, k, t = pool.tp.shape
-        per_img = max(4 * c * k * t * 4, 1)
-        batch = int(min(max(64 * 2**20 // per_img, 1), 4096))
+        per_img = max(16 * c * k * t * 4, 1)
+        batch = int(min(max(4 * 2**30 // per_img, 1), 512))
+
+    if mesh is not None:
+        from ..parallel.mesh import replicate, shard_along
+
+        n_shards = int(np.prod(mesh.devices.shape))
+        batch = -(-batch // n_shards) * n_shards
+        pool = replicate(pool, mesh)
 
     key = jax.random.PRNGKey(seed)
     out = np.zeros((n,), np.float32)
     for s in range(0, n, batch):
         e = min(s + batch, n)
-        idx = jnp.arange(s, e, dtype=jnp.int32)
-        out[s:e] = np.asarray(_orie_batch(pool, idx, key, num_ensemble))
+        # Pad the tail batch so shapes (and shard counts) stay static; padded
+        # indices recompute image (e-1)'s reward and are discarded.
+        idx = np.minimum(np.arange(s, s + batch, dtype=np.int32), n - 1)
+        if mesh is not None:
+            idx = shard_along(jnp.asarray(idx), mesh, mesh.axis_names[0])
+        else:
+            idx = jnp.asarray(idx)
+        out[s:e] = np.asarray(_orie_batch(pool, idx, key, num_ensemble))[: e - s]
         if verbose:
             for i in range(s, e):
                 print(f"ORIE for image {i}: {out[i]:.2f}.")
