@@ -1,0 +1,187 @@
+"""End-to-end detector inference: images -> per-image detection files.
+
+The TPU rebuild of the reference's two detection dumpers:
+  * torch_models/detect.py:62-105 (torchvision models, bs=1 CPU/CUDA loop,
+    normalized-xywh .npy rows with COCO->YOLO class remap);
+  * yolov5 val.py --save-txt --save-conf (yolov5_scripts.md:15-21).
+
+Here the whole batch pipeline — letterbox, backbone, anchor decode, NMS,
+coordinate unmapping — is one jitted function vmapped over a fixed batch;
+only JPEG decode and file IO stay on host.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.nms import non_max_suppression
+from .common import letterbox_batch
+from .yolov5 import YoloV5
+
+
+@partial(jax.jit, static_argnames=("net", "max_det", "multi_label"))
+def _detect_batch(
+    net: YoloV5,
+    params,
+    stats,
+    images,  # (B, S, S, 3)
+    meta,  # (B, 3) letterbox (ratio, dw, dh)
+    orig_hw,  # (B, 2) original (h, w)
+    conf_thres: float,
+    iou_thres: float,
+    max_det: int = 300,
+    multi_label: bool = True,
+):
+    """Forward + decode + NMS + unmap for one letterboxed batch.
+
+    Returns (dets (B, max_det, 6) rows [cls, x, y, w, h, conf] normalized to
+    the ORIGINAL image size, valid (B, max_det)).
+    """
+    heads, _, _ = net.apply(params, stats, images, train=False)
+    pred = net.decode(heads)  # (B, N, no), pixel xywh in letterbox space
+
+    def one(p, m, hw):
+        dets, valid = non_max_suppression(
+            p, conf_thres, iou_thres, max_det=max_det, multi_label=multi_label
+        )
+        r, dw, dh = m[0], m[1], m[2]
+        x1 = (dets[:, 0] - dw) / r
+        y1 = (dets[:, 1] - dh) / r
+        x2 = (dets[:, 2] - dw) / r
+        y2 = (dets[:, 3] - dh) / r
+        h, w = hw[0], hw[1]
+        x1 = jnp.clip(x1, 0, w)
+        x2 = jnp.clip(x2, 0, w)
+        y1 = jnp.clip(y1, 0, h)
+        y2 = jnp.clip(y2, 0, h)
+        out = jnp.stack(
+            [
+                dets[:, 5],
+                (x1 + x2) / 2.0 / w,
+                (y1 + y2) / 2.0 / h,
+                (x2 - x1) / w,
+                (y2 - y1) / h,
+                dets[:, 4],
+            ],
+            axis=1,
+        )
+        return out, valid
+
+    return jax.vmap(one)(pred, meta, orig_hw)
+
+
+def load_images(img_dir: str):
+    """Read an image directory (sorted) into HWC float arrays in [0, 1]."""
+    names = sorted(os.listdir(img_dir))
+    images = []
+    for n in names:
+        path = os.path.join(img_dir, n)
+        if n.lower().endswith((".npy",)):
+            arr = np.load(path).astype(np.float32)
+            if arr.max() > 1.5:
+                arr = arr / 255.0
+        else:
+            from PIL import Image
+
+            arr = np.asarray(Image.open(path).convert("RGB"), np.float32) / 255.0
+        images.append(arr)
+    return names, images
+
+
+def run_detection(
+    net: YoloV5,
+    params,
+    stats,
+    img_dir: str,
+    save_dir: str,
+    batch_size: int = 16,
+    conf_thres: float = 0.001,
+    iou_thres: float = 0.6,
+    img_size: int = 640,
+    fmt: str = "npy",
+    class_map=None,
+):
+    """Detect every image in img_dir; save per-image detection files.
+
+    Output format parity with the on-disk contract (SURVEY.md section 2.9):
+    rows (cls, x, y, w, h, conf), normalized xywh-center, one file per image
+    named after the image stem (.npy or .txt).
+    """
+    names, images = load_images(img_dir)
+    Path(save_dir).mkdir(parents=True, exist_ok=True)
+    for s in range(0, len(images), batch_size):
+        chunk = images[s : s + batch_size]
+        # Pad the tail batch to keep shapes static.
+        pad = batch_size - len(chunk)
+        chunk_p = chunk + [chunk[-1]] * pad
+        lb, meta = letterbox_batch(chunk_p, img_size)
+        hw = np.array([im.shape[:2] for im in chunk_p], np.float32)
+        dets, valid = _detect_batch(
+            net,
+            params,
+            stats,
+            jnp.asarray(lb),
+            jnp.asarray(meta),
+            jnp.asarray(hw),
+            conf_thres,
+            iou_thres,
+        )
+        dets = np.asarray(dets)
+        valid = np.asarray(valid)
+        for bi, name in enumerate(names[s : s + batch_size]):
+            rows = dets[bi][valid[bi]]
+            if class_map is not None:
+                cls = np.array([class_map.get(int(c), -1) for c in rows[:, 0]])
+                keep = cls != -1
+                rows = rows[keep]
+                rows[:, 0] = cls[keep]
+            stem = ".".join(name.split(".")[:-1]) or name
+            if fmt == "npy":
+                np.save(os.path.join(save_dir, stem + ".npy"), rows)
+            else:
+                with open(os.path.join(save_dir, stem + ".txt"), "w") as f:
+                    for r in rows:
+                        f.write(
+                            f"{int(r[0])} {r[1]:.6f} {r[2]:.6f} {r[3]:.6f} "
+                            f"{r[4]:.6f} {r[5]:.6f}\n"
+                        )
+
+
+def dump_features(
+    net: YoloV5,
+    params,
+    stats,
+    img_dir: str,
+    save_dir: str,
+    stages=(9, 17, 20, 23),
+    img_size: int = 640,
+):
+    """Save hidden-stage feature maps per image, file-format-compatible with
+    the reference's patched feature_visualization (yolov5_scripts.md:24-42):
+    {img}/stage{S}_{Name}_features.npy with (C, H, W) layout."""
+    from ..data.io import V5_STAGE_NAMES
+
+    names, images = load_images(img_dir)
+
+    @partial(jax.jit, static_argnames=())
+    def fwd(im):
+        _, _, taps = net.apply(params, stats, im[None], train=False, taps=tuple(stages))
+        return {k: v[0] for k, v in taps.items()}
+
+    for name, img in zip(names, images):
+        lb, _ = letterbox_batch([img], img_size)
+        taps = fwd(jnp.asarray(lb[0]))
+        stem = ".".join(name.split(".")[:-1]) or name
+        out = Path(save_dir) / stem
+        out.mkdir(parents=True, exist_ok=True)
+        for s_idx, act in taps.items():
+            arr = np.asarray(act).transpose(2, 0, 1)  # NHWC slice -> (C, H, W)
+            np.save(
+                out / f"stage{s_idx}_{V5_STAGE_NAMES[s_idx]}_features.npy", arr
+            )

@@ -1,0 +1,143 @@
+"""Detector training: jitted step, mesh data parallelism, checkpointing.
+
+Counterpart of the reference trainer stack (torch_models/train.py:85-139 +
+references/engine.py:12-60): SGD(momentum)/AdamW, MultiStep or cosine LR with
+a linear warmup on the first epoch, per-epoch checkpoints of
+{model, optimizer, lr_scheduler, args, epoch} plus every 10th epoch, --resume.
+
+The TPU redesign: one jitted `train_step` (forward + loss + optimizer update,
+optionally with batch-stat BatchNorm updates) whose batch axis is sharded
+over a Mesh 'dp' axis — XLA inserts the gradient all-reduce over ICI,
+replacing the reference's (latent) DDP/NCCL path (references/utils.py:260-283).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import pickle
+from functools import partial
+from pathlib import Path
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..parallel.mesh import is_primary
+from .loss import yolo_loss
+from .yolov5 import YoloV5
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    """Optimization settings (names/defaults mirror torch_models/train.py:143-164)."""
+
+    opt: str = "sgd"
+    lr: float = 0.02
+    momentum: float = 0.9
+    weight_decay: float = 1e-4
+    lr_scheduler: str = "multisteplr"
+    lr_steps: tuple = (16, 22)
+    lr_gamma: float = 0.1
+    epochs: int = 30
+    warmup_iters: int = 1000  # engine.py:18-25: min(1000, len(loader) - 1)
+    warmup_factor: float = 1.0 / 1000
+
+
+def lr_at(cfg: TrainConfig, epoch: int, it: int, steps_per_epoch: int) -> float:
+    """LR schedule: linear warmup during epoch 0, then MultiStep or cosine."""
+    if cfg.lr_scheduler == "multisteplr":
+        lr = cfg.lr * cfg.lr_gamma ** sum(epoch >= m for m in cfg.lr_steps)
+    else:  # cosineannealinglr
+        lr = cfg.lr * 0.5 * (1 + np.cos(np.pi * epoch / cfg.epochs))
+    if epoch == 0:
+        w = min(cfg.warmup_iters, max(steps_per_epoch - 1, 1))
+        a = min(it / max(w, 1), 1.0)
+        lr = lr * (cfg.warmup_factor * (1 - a) + a)
+    return float(lr)
+
+
+def make_optimizer(cfg: TrainConfig):
+    if cfg.opt == "sgd":
+        return optax.chain(
+            optax.add_decayed_weights(cfg.weight_decay),
+            optax.trace(decay=cfg.momentum),
+            optax.scale(-1.0),
+        )
+    if cfg.opt == "adamw":
+        return optax.chain(
+            optax.scale_by_adam(),
+            optax.add_decayed_weights(cfg.weight_decay),
+            optax.scale(-1.0),
+        )
+    raise RuntimeError(f"Invalid optimizer {cfg.opt}. Only SGD and AdamW are supported.")
+
+
+def make_train_step(net: YoloV5, cfg: TrainConfig):
+    """Build the jitted training step: (params, stats, opt_state, batch, lr)
+    -> (params, stats, opt_state, loss, parts). Shard `images`/`targets`
+    along their leading axis for data parallelism."""
+    opt = make_optimizer(cfg)
+
+    @jax.jit
+    def step(params, stats, opt_state, images, targets, target_valid, lr):
+        def loss_fn(p):
+            heads, new_stats, _ = net.apply(p, stats, images, train=True)
+            total, parts = yolo_loss(net, heads, targets, target_valid)
+            return total, (new_stats, parts)
+
+        (loss, (new_stats, parts)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        updates = jax.tree_util.tree_map(lambda u: u * lr, updates)
+        params = optax.apply_updates(params, updates)
+        return params, new_stats, opt_state, loss, parts
+
+    return opt, step
+
+
+def save_checkpoint(path: str, params, stats, opt_state, cfg, epoch: int):
+    """Checkpoint dict parity with train.py:126-136 ({model, optimizer,
+    lr_scheduler, args, epoch}); written only by the primary process."""
+    if not is_primary():
+        return
+    payload = {
+        "model": jax.tree_util.tree_map(np.asarray, {"params": params, "stats": stats}),
+        "optimizer": jax.tree_util.tree_map(np.asarray, opt_state),
+        "lr_scheduler": {
+            "name": cfg.lr_scheduler,
+            "steps": list(cfg.lr_steps),
+            "gamma": cfg.lr_gamma,
+        },
+        "args": dataclasses.asdict(cfg),
+        "epoch": epoch,
+    }
+    Path(os.path.dirname(path) or ".").mkdir(parents=True, exist_ok=True)
+    with open(path, "wb") as f:
+        pickle.dump(payload, f)
+
+
+def load_checkpoint(path: str):
+    with open(path, "rb") as f:
+        payload = pickle.load(f)
+    model = jax.tree_util.tree_map(jnp.asarray, payload["model"])
+    opt_state = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(a) if isinstance(a, np.ndarray) else a,
+        payload["optimizer"],
+    )
+    return model["params"], model["stats"], opt_state, payload
+
+
+def pad_targets(label_list, max_targets: int):
+    """Per-image (m, 5) [cls, x, y, w, h] arrays -> (B, MAXT, 5) + mask."""
+    b = len(label_list)
+    out = np.zeros((b, max_targets, 5), np.float32)
+    valid = np.zeros((b, max_targets), bool)
+    for i, lab in enumerate(label_list):
+        lab = np.asarray(lab, np.float32).reshape(-1, 5)[:max_targets]
+        out[i, : len(lab)] = lab
+        valid[i, : len(lab)] = True
+    return out, valid

@@ -1,0 +1,358 @@
+"""YOLOv5 (n/s/m/l/x) in pure JAX — the reference's weak/strong detector pair.
+
+The reference treats YOLOv5 as an external torch dependency
+(/root/reference/yolov5_scripts.md): train with ultralytics, dump detections
+with val.py --save-txt --save-conf, dump hidden-layer feature maps with a
+patched feature_visualization. This module is a from-scratch JAX
+implementation of the same network family so the whole pipeline runs
+XLA-compiled on TPU:
+
+  * CSP backbone (Conv/C3/SPPF), PANet neck, anchor-based Detect head,
+    width/depth multiples per variant — architecture per the public yolov5
+    model definition (v6.x: 6x6 stem conv, SPPF);
+  * NHWC activations, HWIO weights, functional BatchNorm (eps 1e-3,
+    momentum 0.03) with separate running stats — one apply() serves
+    training (batch stats), inference (running stats), and feature taps;
+  * hidden-stage feature taps matching the reference's stage numbering
+    (stage index = module index, lib/data.py:99-100);
+  * ultralytics state_dict import (OIHW -> HWIO, anchors rescaled from
+    grid units back to pixels).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .common import bn_apply, conv2d, conv_init, max_pool_same, silu, upsample2x
+
+BN_EPS = 1e-3
+BN_MOMENTUM = 0.03
+
+# (depth_multiple, width_multiple) per variant.
+YOLOV5_VARIANTS = {
+    "n": (0.33, 0.25),
+    "s": (0.33, 0.50),
+    "m": (0.67, 0.75),
+    "l": (1.00, 1.00),
+    "x": (1.33, 1.25),
+}
+
+# Default P5 anchors in pixels, per detection level (stride 8 / 16 / 32).
+DEFAULT_ANCHORS = (
+    ((10, 13), (16, 30), (33, 23)),
+    ((30, 61), (62, 45), (59, 119)),
+    ((116, 90), (156, 198), (373, 326)),
+)
+STRIDES = (8, 16, 32)
+
+
+def _gw(c, width):
+    """Scale channel count by the width multiple, to a multiple of 8."""
+    return max(int(math.ceil(c * width / 8) * 8), 8) if c != 3 else 3
+
+
+def _gd(n, depth):
+    return max(round(n * depth), 1)
+
+
+@dataclasses.dataclass(frozen=True)
+class YoloV5:
+    """Static architecture spec. Parameters/stats live in separate pytrees."""
+
+    variant: str = "n"
+    num_classes: int = 80
+    img_size: int = 640
+    anchors: tuple = DEFAULT_ANCHORS
+
+    @property
+    def depth(self):
+        return YOLOV5_VARIANTS[self.variant][0]
+
+    @property
+    def width(self):
+        return YOLOV5_VARIANTS[self.variant][1]
+
+    @property
+    def na(self):
+        return len(self.anchors[0])
+
+    @property
+    def no(self):
+        return self.num_classes + 5
+
+    # ---- layer table -------------------------------------------------------
+    # (index, kind, from, kwargs). "from" of -1 means previous output.
+    def layers(self):
+        w, d = self.width, self.depth
+        c = {k: _gw(k, w) for k in (64, 128, 256, 512, 1024)}
+        return [
+            (0, "conv", -1, dict(cin=3, cout=c[64], k=6, s=2, p=2)),
+            (1, "conv", -1, dict(cin=c[64], cout=c[128], k=3, s=2)),
+            (2, "c3", -1, dict(cin=c[128], cout=c[128], n=_gd(3, d), shortcut=True)),
+            (3, "conv", -1, dict(cin=c[128], cout=c[256], k=3, s=2)),
+            (4, "c3", -1, dict(cin=c[256], cout=c[256], n=_gd(6, d), shortcut=True)),
+            (5, "conv", -1, dict(cin=c[256], cout=c[512], k=3, s=2)),
+            (6, "c3", -1, dict(cin=c[512], cout=c[512], n=_gd(9, d), shortcut=True)),
+            (7, "conv", -1, dict(cin=c[512], cout=c[1024], k=3, s=2)),
+            (8, "c3", -1, dict(cin=c[1024], cout=c[1024], n=_gd(3, d), shortcut=True)),
+            (9, "sppf", -1, dict(cin=c[1024], cout=c[1024], k=5)),
+            (10, "conv", -1, dict(cin=c[1024], cout=c[512], k=1, s=1)),
+            (11, "up", -1, {}),
+            (12, "concat", (-1, 6), {}),
+            (13, "c3", -1, dict(cin=c[1024], cout=c[512], n=_gd(3, d), shortcut=False)),
+            (14, "conv", -1, dict(cin=c[512], cout=c[256], k=1, s=1)),
+            (15, "up", -1, {}),
+            (16, "concat", (-1, 4), {}),
+            (17, "c3", -1, dict(cin=c[512], cout=c[256], n=_gd(3, d), shortcut=False)),
+            (18, "conv", -1, dict(cin=c[256], cout=c[256], k=3, s=2)),
+            (19, "concat", (-1, 14), {}),
+            (20, "c3", -1, dict(cin=c[512], cout=c[512], n=_gd(3, d), shortcut=False)),
+            (21, "conv", -1, dict(cin=c[512], cout=c[512], k=3, s=2)),
+            (22, "concat", (-1, 10), {}),
+            (23, "c3", -1, dict(cin=c[1024], cout=c[1024], n=_gd(3, d), shortcut=False)),
+        ]
+
+    @property
+    def head_channels(self):
+        w = self.width
+        return (_gw(256, w), _gw(512, w), _gw(1024, w))
+
+    # ---- init --------------------------------------------------------------
+
+    def _init_convbn(self, key, cin, cout, k):
+        kw, _ = jax.random.split(key)
+        return (
+            {"w": conv_init(kw, k, cin, cout), "g": jnp.ones((cout,)), "b": jnp.zeros((cout,))},
+            {"m": jnp.zeros((cout,)), "v": jnp.ones((cout,))},
+        )
+
+    def _init_c3(self, key, cin, cout, n, shortcut):
+        ch = cout // 2
+        keys = jax.random.split(key, 3 + 2 * n)
+        p, s = {}, {}
+        p["cv1"], s["cv1"] = self._init_convbn(keys[0], cin, ch, 1)
+        p["cv2"], s["cv2"] = self._init_convbn(keys[1], cin, ch, 1)
+        p["cv3"], s["cv3"] = self._init_convbn(keys[2], 2 * ch, cout, 1)
+        p["m"], s["m"] = [], []
+        for j in range(n):
+            bp, bs = {}, {}
+            bp["cv1"], bs["cv1"] = self._init_convbn(keys[3 + 2 * j], ch, ch, 1)
+            bp["cv2"], bs["cv2"] = self._init_convbn(keys[4 + 2 * j], ch, ch, 3)
+            p["m"].append(bp)
+            s["m"].append(bs)
+        return p, s
+
+    def init(self, key):
+        params, stats = {}, {}
+        for idx, kind, _, kw in self.layers():
+            key, sub = jax.random.split(key)
+            name = f"l{idx}"
+            if kind == "conv":
+                params[name], stats[name] = self._init_convbn(
+                    sub, kw["cin"], kw["cout"], kw["k"]
+                )
+            elif kind == "c3":
+                params[name], stats[name] = self._init_c3(
+                    sub, kw["cin"], kw["cout"], kw["n"], kw["shortcut"]
+                )
+            elif kind == "sppf":
+                ch = kw["cin"] // 2
+                p, s = {}, {}
+                key, k1, k2 = jax.random.split(key, 3)
+                p["cv1"], s["cv1"] = self._init_convbn(k1, kw["cin"], ch, 1)
+                p["cv2"], s["cv2"] = self._init_convbn(k2, ch * 4, kw["cout"], 1)
+                params[name], stats[name] = p, s
+        # Detect head: 1x1 convs with bias, per level.
+        det_p = []
+        for ch, stride in zip(self.head_channels, STRIDES):
+            key, kw_ = jax.random.split(key)
+            cout = self.na * self.no
+            w = conv_init(kw_, 1, ch, cout)
+            # Objectness/class bias priors (yolov5's bias init): obj bias
+            # log(8 / (640/stride)^2) per level, cls log(0.6 / (nc - 0.99)).
+            b = np.zeros((self.na, self.no), np.float32)
+            b[:, 4] = math.log(8 / (self.img_size / stride) ** 2)
+            b[:, 5:] = math.log(0.6 / (self.num_classes - 0.99999))
+            det_p.append({"w": w, "b": jnp.asarray(b.reshape(-1))})
+        params["detect"] = det_p
+        return params, stats
+
+    # ---- apply -------------------------------------------------------------
+
+    def _convbn(self, x, p, s, pad, stride, train):
+        # Explicit symmetric padding (torch's autopad k//2; the stem uses 2):
+        # XLA's SAME padding distributes asymmetrically for stride-2 k=3
+        # convolutions ((0,1) instead of torch's (1,1)), which would shift
+        # every downsampling layer by one pixel vs imported weights.
+        x = conv2d(x, p["w"], stride, padding=((pad, pad), (pad, pad)))
+        x, new_s = bn_apply(
+            x,
+            {"scale": p["g"], "bias": p["b"], "mean": s["m"], "var": s["v"]},
+            eps=BN_EPS,
+            momentum=BN_MOMENTUM,
+            train=train,
+        )
+        return silu(x), {"m": new_s["mean"], "v": new_s["var"]}
+
+    def _c3(self, x, p, s, shortcut, train):
+        ns = {"m": []}
+        y1, ns["cv1"] = self._convbn(x, p["cv1"], s["cv1"], 0, 1, train)
+        y2, ns["cv2"] = self._convbn(x, p["cv2"], s["cv2"], 0, 1, train)
+        for bp, bs in zip(p["m"], s["m"]):
+            b1, n1 = self._convbn(y1, bp["cv1"], bs["cv1"], 0, 1, train)
+            b2, n2 = self._convbn(b1, bp["cv2"], bs["cv2"], 1, 1, train)
+            y1 = y1 + b2 if shortcut else b2
+            ns["m"].append({"cv1": n1, "cv2": n2})
+        y, ns["cv3"] = self._convbn(
+            jnp.concatenate([y1, y2], axis=-1), p["cv3"], s["cv3"], 0, 1, train
+        )
+        return y, ns
+
+    def _sppf(self, x, p, s, train):
+        ns = {}
+        y, ns["cv1"] = self._convbn(x, p["cv1"], s["cv1"], 0, 1, train)
+        p1 = max_pool_same(y, 5)
+        p2 = max_pool_same(p1, 5)
+        p3 = max_pool_same(p2, 5)
+        y, ns["cv2"] = self._convbn(
+            jnp.concatenate([y, p1, p2, p3], axis=-1), p["cv2"], s["cv2"], 0, 1, train
+        )
+        return y, ns
+
+    def apply(self, params, stats, x, *, train: bool = False, taps=()):
+        """Run the network. x: (B, S, S, 3) float32 in [0, 1].
+
+        Returns (level_outputs, new_stats, tap_dict) where level_outputs is a
+        list of raw (B, H, W, na, no) head tensors per stride, and tap_dict
+        maps requested stage indices (0..23) to their NHWC activations
+        (the reference's feature_visualization stages, yolov5_scripts.md:24-42).
+        """
+        outputs = {}
+        new_stats = {}
+        tapset = set(taps)
+        tap_out = {}
+        y = x
+        for idx, kind, src, kw in self.layers():
+            name = f"l{idx}"
+            if kind == "conv":
+                y, new_stats[name] = self._convbn(
+                    y if src == -1 else outputs[src],
+                    params[name], stats[name],
+                    kw.get("p", kw["k"] // 2), kw["s"], train,
+                )
+            elif kind == "c3":
+                y, new_stats[name] = self._c3(
+                    y, params[name], stats[name], kw["shortcut"], train
+                )
+            elif kind == "sppf":
+                y, new_stats[name] = self._sppf(y, params[name], stats[name], train)
+            elif kind == "up":
+                y = upsample2x(y)
+            elif kind == "concat":
+                y = jnp.concatenate([y, outputs[src[1]]], axis=-1)
+            outputs[idx] = y
+            if idx in tapset:
+                tap_out[idx] = y
+        heads = []
+        for li, (src, p) in enumerate(zip((17, 20, 23), params["detect"])):
+            h = conv2d(outputs[src], p["w"], 1) + p["b"]
+            b, hh, ww, _ = h.shape
+            heads.append(h.reshape(b, hh, ww, self.na, self.no))
+        return heads, new_stats, tap_out
+
+    def decode(self, heads):
+        """Anchor decode: raw heads -> (B, total, no) with pixel xywh boxes.
+
+        y = sigmoid(h); xy = (2y - 0.5 + cell) * stride; wh = (2y)^2 * anchor
+        (the yolov5 v5+ parameterization).
+        """
+        outs = []
+        for h, stride, anchors in zip(heads, STRIDES, self.anchors):
+            b, hh, ww, na, no = h.shape
+            y = jax.nn.sigmoid(h)
+            gx = jnp.arange(ww, dtype=h.dtype)
+            gy = jnp.arange(hh, dtype=h.dtype)
+            grid = jnp.stack(jnp.meshgrid(gx, gy), axis=-1)  # (H, W, 2) = (x, y)
+            xy = (y[..., 0:2] * 2.0 - 0.5 + grid[:, :, None, :]) * stride
+            anc = jnp.asarray(anchors, h.dtype)  # (na, 2) pixels
+            wh = (y[..., 2:4] * 2.0) ** 2 * anc[None, None, :, :]
+            out = jnp.concatenate([xy, wh, y[..., 4:]], axis=-1)
+            outs.append(out.reshape(b, hh * ww * na, no))
+        return jnp.concatenate(outs, axis=1)
+
+    # ---- weight import -----------------------------------------------------
+
+    def params_from_torch_state_dict(self, sd) -> tuple:
+        """Map an ultralytics YOLOv5 state_dict to (params, stats).
+
+        Accepts keys with or without a leading 'model.' prefix; conv weights
+        OIHW -> HWIO; 'model.24.anchors' is stored in grid units (anchors /
+        stride) and is rescaled back to pixels.
+        """
+
+        def get(k):
+            for cand in (k, "model." + k, k.replace("model.", "", 1)):
+                if cand in sd:
+                    v = sd[cand]
+                    return np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v)
+            raise KeyError(k)
+
+        def convbn(prefix):
+            w = get(prefix + ".conv.weight").transpose(2, 3, 1, 0)
+            return (
+                {
+                    "w": jnp.asarray(w),
+                    "g": jnp.asarray(get(prefix + ".bn.weight")),
+                    "b": jnp.asarray(get(prefix + ".bn.bias")),
+                },
+                {
+                    "m": jnp.asarray(get(prefix + ".bn.running_mean")),
+                    "v": jnp.asarray(get(prefix + ".bn.running_var")),
+                },
+            )
+
+        params, stats = {}, {}
+        for idx, kind, _, kw in self.layers():
+            name = f"l{idx}"
+            pre = f"model.{idx}"
+            if kind == "conv":
+                params[name], stats[name] = convbn(pre)
+            elif kind == "c3":
+                p, s = {}, {}
+                for cv in ("cv1", "cv2", "cv3"):
+                    p[cv], s[cv] = convbn(f"{pre}.{cv}")
+                p["m"], s["m"] = [], []
+                for j in range(kw["n"]):
+                    bp, bs = {}, {}
+                    for cv in ("cv1", "cv2"):
+                        bp[cv], bs[cv] = convbn(f"{pre}.m.{j}.{cv}")
+                    p["m"].append(bp)
+                    s["m"].append(bs)
+                params[name], stats[name] = p, s
+            elif kind == "sppf":
+                p, s = {}, {}
+                p["cv1"], s["cv1"] = convbn(f"{pre}.cv1")
+                p["cv2"], s["cv2"] = convbn(f"{pre}.cv2")
+                params[name], stats[name] = p, s
+        det = []
+        for li in range(3):
+            w = get(f"model.24.m.{li}.weight").transpose(2, 3, 1, 0)
+            b = get(f"model.24.m.{li}.bias")
+            det.append({"w": jnp.asarray(w), "b": jnp.asarray(b)})
+        params["detect"] = det
+        try:
+            anchors_grid = get("model.24.anchors")  # (3, na, 2), grid units
+            anchors_px = anchors_grid * np.asarray(STRIDES)[:, None, None]
+            object.__setattr__(  # frozen dataclass: update spec to checkpoint
+                self, "anchors",
+                tuple(tuple(map(tuple, lvl)) for lvl in anchors_px.tolist()),
+            )
+        except KeyError:
+            pass
+        return params, stats

