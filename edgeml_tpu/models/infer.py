@@ -94,8 +94,44 @@ def load_images(img_dir: str):
     return names, images
 
 
+@partial(jax.jit, static_argnames=("net", "max_det"))
+def _detect_batch_ssd(
+    net,
+    params,
+    stats,
+    images,  # (B, S, S, 3) plain-resized
+    orig_hw,  # (B, 2)
+    conf_thres: float,
+    iou_thres: float,
+    max_det: int = 300,
+):
+    """SSD-family path: plain resize (torchvision's fixed-size transform),
+    softmax postprocess, boxes normalized against the original size."""
+    from .ssd_loss import ssd_postprocess
+    from .ssdlite import default_boxes
+
+    (cls_logits, reg), _ = net.apply(params, stats, images, train=False)
+    anchors = jnp.asarray(default_boxes(net.image_size))
+    dets, valid = ssd_postprocess(
+        net, cls_logits, reg, anchors,
+        score_thresh=conf_thres, nms_thresh=iou_thres, max_det=max_det,
+    )
+
+    # Plain resize means normalized coordinates are scale-invariant: x/320
+    # in model space equals x_orig/w in image space (orig_hw kept for parity
+    # of the signature with the letterboxed path).
+    del orig_hw
+    s = net.image_size
+    x1, y1, x2, y2 = (dets[..., i] / s for i in range(4))
+    out = jnp.stack(
+        [dets[..., 5], (x1 + x2) / 2, (y1 + y2) / 2, x2 - x1, y2 - y1, dets[..., 4]],
+        axis=-1,
+    )
+    return out, valid
+
+
 def run_detection(
-    net: YoloV5,
+    net,
     params,
     stats,
     img_dir: str,
@@ -113,6 +149,7 @@ def run_detection(
     rows (cls, x, y, w, h, conf), normalized xywh-center, one file per image
     named after the image stem (.npy or .txt).
     """
+    is_yolo = isinstance(net, YoloV5)
     names, images = load_images(img_dir)
     Path(save_dir).mkdir(parents=True, exist_ok=True)
     for s in range(0, len(images), batch_size):
@@ -120,18 +157,35 @@ def run_detection(
         # Pad the tail batch to keep shapes static.
         pad = batch_size - len(chunk)
         chunk_p = chunk + [chunk[-1]] * pad
-        lb, meta = letterbox_batch(chunk_p, img_size)
         hw = np.array([im.shape[:2] for im in chunk_p], np.float32)
-        dets, valid = _detect_batch(
-            net,
-            params,
-            stats,
-            jnp.asarray(lb),
-            jnp.asarray(meta),
-            jnp.asarray(hw),
-            conf_thres,
-            iou_thres,
-        )
+        if is_yolo:
+            lb, meta = letterbox_batch(chunk_p, img_size)
+            dets, valid = _detect_batch(
+                net,
+                params,
+                stats,
+                jnp.asarray(lb),
+                jnp.asarray(meta),
+                jnp.asarray(hw),
+                conf_thres,
+                iou_thres,
+            )
+        else:
+            size = net.image_size
+            rs = np.stack(
+                [
+                    np.asarray(
+                        jax.image.resize(
+                            jnp.asarray(im, jnp.float32), (size, size, 3), "bilinear"
+                        )
+                    )
+                    for im in chunk_p
+                ]
+            )
+            dets, valid = _detect_batch_ssd(
+                net, params, stats, jnp.asarray(rs), jnp.asarray(hw),
+                conf_thres, iou_thres,
+            )
         dets = np.asarray(dets)
         valid = np.asarray(valid)
         for bi, name in enumerate(names[s : s + batch_size]):
