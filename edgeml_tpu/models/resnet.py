@@ -1,0 +1,156 @@
+"""ResNet-50 backbone + Feature Pyramid Network in pure JAX.
+
+Shared trunk of the reference's strong detectors
+(fasterrcnn_resnet50_fpn_v2 / retinanet_resnet50_fpn_v2,
+/root/reference/torch_models/train.py:17-18). Follows the torchvision
+structure: 7x7 stem, bottleneck stages (3, 4, 6, 3), frozen BatchNorm
+(detection models never update BN stats — running statistics are applied in
+both train and eval, matching FrozenBatchNorm2d), and an FPN over C3/C4/C5
+with 256-channel lateral/output convs plus configurable extra levels
+(LastLevelMaxPool for Faster R-CNN, P6/P7 convs for RetinaNet).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from .common import conv2d, conv_init, upsample2x
+
+STAGE_BLOCKS = (3, 4, 6, 3)
+STAGE_CHANNELS = (256, 512, 1024, 2048)
+
+
+def _frozen_bn(x, p):
+    """FrozenBatchNorm2d: affine transform with fixed statistics."""
+    scale = p["g"] * jax.lax.rsqrt(p["v"] + 1e-5)
+    return x * scale + (p["b"] - p["m"] * scale)
+
+
+@dataclasses.dataclass(frozen=True)
+class ResNet50FPN:
+    out_channels: int = 256
+    extra: str = "maxpool"  # "maxpool" (Faster R-CNN) or "p6p7" (RetinaNet)
+
+    # ---- init ----------------------------------------------------------------
+
+    def _convbn(self, key, k, cin, cout):
+        return {
+            "w": conv_init(key, k, cin, cout),
+            "g": jnp.ones((cout,)),
+            "b": jnp.zeros((cout,)),
+            "m": jnp.zeros((cout,)),
+            "v": jnp.ones((cout,)),
+        }
+
+    def _bottleneck(self, key, cin, cmid, cout, downsample):
+        keys = jax.random.split(key, 4)
+        p = {
+            "conv1": self._convbn(keys[0], 1, cin, cmid),
+            "conv2": self._convbn(keys[1], 3, cmid, cmid),
+            "conv3": self._convbn(keys[2], 1, cmid, cout),
+        }
+        if downsample:
+            p["down"] = self._convbn(keys[3], 1, cin, cout)
+        return p
+
+    def init(self, key):
+        p = {}
+        key, sub = jax.random.split(key)
+        p["stem"] = self._convbn(sub, 7, 3, 64)
+        cin = 64
+        stages = []
+        for si, (n, cout) in enumerate(zip(STAGE_BLOCKS, STAGE_CHANNELS)):
+            cmid = cout // 4
+            blocks = []
+            for bi in range(n):
+                key, sub = jax.random.split(key)
+                blocks.append(
+                    self._bottleneck(sub, cin if bi == 0 else cout, cmid, cout, bi == 0)
+                )
+            stages.append(blocks)
+            cin = cout
+        p["stages"] = stages
+        # FPN lateral (1x1) + output (3x3) convs over C3, C4, C5.
+        lat, out = [], []
+        for c in STAGE_CHANNELS[1:]:
+            key, k1, k2 = jax.random.split(key, 3)
+            lat.append(
+                {"w": conv_init(k1, 1, c, self.out_channels),
+                 "b": jnp.zeros((self.out_channels,))}
+            )
+            out.append(
+                {"w": conv_init(k2, 3, self.out_channels, self.out_channels),
+                 "b": jnp.zeros((self.out_channels,))}
+            )
+        p["fpn_lateral"], p["fpn_output"] = lat, out
+        if self.extra == "p6p7":
+            key, k1, k2 = jax.random.split(key, 3)
+            p["p6"] = {
+                "w": conv_init(k1, 3, self.out_channels, self.out_channels),
+                "b": jnp.zeros((self.out_channels,)),
+            }
+            p["p7"] = {
+                "w": conv_init(k2, 3, self.out_channels, self.out_channels),
+                "b": jnp.zeros((self.out_channels,)),
+            }
+        return p
+
+    # ---- apply ----------------------------------------------------------------
+
+    def _run_block(self, x, p, stride):
+        idt = x
+        y = jax.nn.relu(_frozen_bn(conv2d(x, p["conv1"]["w"], 1), p["conv1"]))
+        y = jax.nn.relu(
+            _frozen_bn(
+                conv2d(y, p["conv2"]["w"], stride, padding=((1, 1), (1, 1))),
+                p["conv2"],
+            )
+        )
+        y = _frozen_bn(conv2d(y, p["conv3"]["w"], 1), p["conv3"])
+        if "down" in p:
+            idt = _frozen_bn(conv2d(x, p["down"]["w"], stride), p["down"])
+        return jax.nn.relu(y + idt)
+
+    def apply(self, params, x):
+        """x: (B, S, S, 3) normalized images. Returns the FPN level list
+        [P3, P4, P5, P6(, P7)] of (B, h, w, 256) maps."""
+        y = conv2d(x, params["stem"]["w"], 2, padding=((3, 3), (3, 3)))
+        y = jax.nn.relu(_frozen_bn(y, params["stem"]))
+        y = jax.lax.reduce_window(
+            y, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
+            ((0, 0), (1, 1), (1, 1), (0, 0)),
+        )
+        cs = []
+        for si, blocks in enumerate(params["stages"]):
+            stride = 1 if si == 0 else 2
+            for bi, bp in enumerate(blocks):
+                y = self._run_block(y, bp, stride if bi == 0 else 1)
+            cs.append(y)
+        c3, c4, c5 = cs[1], cs[2], cs[3]
+
+        lat = params["fpn_lateral"]
+        out = params["fpn_output"]
+        p5 = conv2d(c5, lat[2]["w"], 1) + lat[2]["b"]
+        p4 = conv2d(c4, lat[1]["w"], 1) + lat[1]["b"] + upsample2x(p5)
+        p3 = conv2d(c3, lat[0]["w"], 1) + lat[0]["b"] + upsample2x(p4)
+        feats = [
+            conv2d(p, o["w"], 1, padding=((1, 1), (1, 1))) + o["b"]
+            for p, o in zip((p3, p4, p5), out)
+        ]
+        if self.extra == "maxpool":
+            feats.append(
+                jax.lax.reduce_window(
+                    feats[-1], -jnp.inf, jax.lax.max, (1, 1, 1, 1), (1, 2, 2, 1),
+                    "VALID",
+                )
+            )
+        else:  # p6p7 from P5 (v2 convention)
+            p6 = conv2d(feats[-1], params["p6"]["w"], 2, padding=((1, 1), (1, 1)))
+            p6 = p6 + params["p6"]["b"]
+            p7 = conv2d(jax.nn.relu(p6), params["p7"]["w"], 2, padding=((1, 1), (1, 1)))
+            p7 = p7 + params["p7"]["b"]
+            feats.extend([p6, p7])
+        return feats
