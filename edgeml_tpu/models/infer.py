@@ -94,33 +94,44 @@ def load_images(img_dir: str):
     return names, images
 
 
-@partial(jax.jit, static_argnames=("net", "max_det"))
-def _detect_batch_ssd(
-    net,
-    params,
-    stats,
-    images,  # (B, S, S, 3) plain-resized
-    orig_hw,  # (B, 2)
-    conf_thres: float,
-    iou_thres: float,
-    max_det: int = 300,
-):
-    """SSD-family path: plain resize (torchvision's fixed-size transform),
-    softmax postprocess, boxes normalized against the original size."""
-    from .ssd_loss import ssd_postprocess
-    from .ssdlite import default_boxes
+def _detect_generic(net, params, stats, images, conf_thres, iou_thres):
+    """Anchor-family dispatch (SSDLite / RetinaNet / Faster R-CNN): forward +
+    family postprocess, boxes returned as normalized (cls, xywh, conf) rows.
 
-    (cls_logits, reg), _ = net.apply(params, stats, images, train=False)
-    anchors = jnp.asarray(default_boxes(net.image_size))
-    dets, valid = ssd_postprocess(
-        net, cls_logits, reg, anchors,
-        score_thresh=conf_thres, nms_thresh=iou_thres, max_det=max_det,
-    )
+    Plain square resize means normalized coordinates are scale-invariant:
+    x/S in model space equals x_orig/w in image space.
+    """
+    kind = type(net).__name__
+    if kind == "SSDLite":
+        from .ssd_loss import ssd_postprocess
+        from .ssdlite import default_boxes
 
-    # Plain resize means normalized coordinates are scale-invariant: x/320
-    # in model space equals x_orig/w in image space (orig_hw kept for parity
-    # of the signature with the letterboxed path).
-    del orig_hw
+        (cls_logits, reg), _ = net.apply(params, stats, images, train=False)
+        anchors = jnp.asarray(default_boxes(net.image_size))
+        dets, valid = ssd_postprocess(
+            net, cls_logits, reg, anchors,
+            score_thresh=conf_thres, nms_thresh=iou_thres,
+        )
+    elif kind == "RetinaNet":
+        from .retinanet import retina_anchors, retina_postprocess
+
+        cls_logits, reg = net.apply(params, images)
+        anchors = jnp.asarray(retina_anchors(net.image_size))
+        dets, valid = retina_postprocess(
+            net, cls_logits, reg, anchors,
+            score_thresh=conf_thres, nms_thresh=iou_thres,
+        )
+    elif kind == "FasterRCNN":
+        from .faster_rcnn import rpn_anchors
+
+        anchors = [jnp.asarray(a) for a in rpn_anchors(net.image_size)]
+        dets, valid = net.detect(
+            params, images, anchors,
+            score_thresh=conf_thres, nms_thresh=iou_thres,
+        )
+    else:
+        raise TypeError(f"unknown detector family {kind}")
+
     s = net.image_size
     x1, y1, x2, y2 = (dets[..., i] / s for i in range(4))
     out = jnp.stack(
@@ -182,9 +193,14 @@ def run_detection(
                     for im in chunk_p
                 ]
             )
-            dets, valid = _detect_batch_ssd(
-                net, params, stats, jnp.asarray(rs), jnp.asarray(hw),
-                conf_thres, iou_thres,
+            # torchvision's GeneralizedRCNNTransform normalization. Deliberate
+            # divergence: a fixed square resize instead of the RCNN models'
+            # aspect-preserving min/max-size resize (static shapes on TPU).
+            mean = np.array([0.485, 0.456, 0.406], np.float32)
+            std = np.array([0.229, 0.224, 0.225], np.float32)
+            rs = (rs - mean) / std
+            dets, valid = _detect_generic(
+                net, params, stats, jnp.asarray(rs), conf_thres, iou_thres
             )
         dets = np.asarray(dets)
         valid = np.asarray(valid)

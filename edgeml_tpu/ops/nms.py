@@ -33,6 +33,47 @@ def _iou_one_vs_many(box, boxes):
     return inter / jnp.maximum(a + b - inter, 1e-12)
 
 
+@partial(jax.jit, static_argnames=("max_det", "max_cand"))
+def nms_rows(
+    boxes: jax.Array,  # (N, 4) xyxy
+    scores: jax.Array,  # (N,) — entries <= 0 are ignored
+    cls_ids: jax.Array,  # (N,) float class ids (for class-aware offsets)
+    iou_thres: float = 0.5,
+    max_det: int = 300,
+    max_cand: int = 2048,
+) -> tuple:
+    """Class-aware greedy NMS over pre-scored (box, class) rows.
+
+    Returns (dets (max_det, 6) [x1, y1, x2, y2, score, cls], valid).
+    """
+    k = min(max_cand, scores.shape[0])
+    top_scores, top_idx = jax.lax.top_k(jnp.where(scores > 0, scores, -1.0), k)
+    cand_boxes = boxes[top_idx]
+    cand_cls = cls_ids[top_idx]
+    off_boxes = cand_boxes + cand_cls[:, None] * MAX_WH
+
+    def body(i, carry):
+        alive, out = carry
+        s = jnp.where(alive, top_scores, -jnp.inf)
+        j = jnp.argmax(s)
+        ok = s[j] > 0.0
+        row = jnp.where(
+            ok,
+            jnp.concatenate(
+                [cand_boxes[j], top_scores[j, None], cand_cls[j, None]]
+            ),
+            jnp.zeros((6,), boxes.dtype),
+        )
+        out = out.at[i].set(row)
+        iou = _iou_one_vs_many(off_boxes[j], off_boxes)
+        alive = alive & (iou <= iou_thres) & ok
+        return alive, out
+
+    out0 = jnp.zeros((max_det, 6), boxes.dtype)
+    _, out = jax.lax.fori_loop(0, max_det, body, (top_scores > 0.0, out0))
+    return out, out[:, 4] > 0.0
+
+
 @partial(
     jax.jit,
     static_argnames=("max_det", "max_cand", "multi_label"),

@@ -48,17 +48,34 @@ def load_detector(model_name: str, model_path: str, num_class: int):
         from edgeml_tpu.models.ssdlite import SSDLite
 
         net = SSDLite(num_classes=num_class)
-        if model_path:
-            sd = load_state_dict(model_path)
-            params, stats = net.params_from_torch_state_dict(sd)
+    elif model_name == "retinanet":
+        from edgeml_tpu.models.retinanet import RetinaNet
+
+        net = RetinaNet(num_classes=num_class)
+    elif model_name == "faster_rcnn":
+        from edgeml_tpu.models.faster_rcnn import FasterRCNN
+
+        net = FasterRCNN(num_classes=num_class)
+    else:
+        raise SystemExit(
+            f"Model '{model_name}' is not available. "
+            "Choose from yolov5n/s/m/l/x, ssd, faster_rcnn, retinanet."
+        )
+    if model_path:
+        sd = load_state_dict(model_path)
+        params = net.params_from_torch_state_dict(sd)
+        if isinstance(params, tuple):
+            params, stats = params
         else:
-            print("WARNING: no --model-path given; using random weights.")
-            params, stats = net.init(jax.random.PRNGKey(0))
-        return net, params, stats
-    raise SystemExit(
-        f"Model '{model_name}' is not available yet in the TPU build. "
-        "Choose from yolov5n/s/m/l/x or ssd."
-    )
+            stats = None
+    else:
+        print("WARNING: no --model-path given; using random weights.")
+        params = net.init(jax.random.PRNGKey(0))
+        if isinstance(params, tuple):
+            params, stats = params
+        else:
+            stats = None
+    return net, params, stats
 
 
 def load_state_dict(path: str):
