@@ -78,8 +78,10 @@ def _encode(gt, anchors, weights):
     wx, wy, ww, wh = weights
     acx = (anchors[..., 0] + anchors[..., 2]) * 0.5
     acy = (anchors[..., 1] + anchors[..., 3]) * 0.5
-    aw = anchors[..., 2] - anchors[..., 0]
-    ah = anchors[..., 3] - anchors[..., 1]
+    # Guard degenerate reference boxes (zero-padded proposals): their targets
+    # are masked out of every loss, but inf * 0 would still poison the sums.
+    aw = jnp.maximum(anchors[..., 2] - anchors[..., 0], 1e-6)
+    ah = jnp.maximum(anchors[..., 3] - anchors[..., 1], 1e-6)
     gcx = (gt[..., 0] + gt[..., 2]) * 0.5
     gcy = (gt[..., 1] + gt[..., 3]) * 0.5
     gw = jnp.maximum(gt[..., 2] - gt[..., 0], 1e-6)

@@ -119,3 +119,32 @@ def test_loss_decreases_on_overfit():
         losses.append(float(loss))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def test_train_cli_ssd_family(dataset):
+    tmp, img_dir, lab_dir = dataset
+    import train as train_cli
+
+    ns = types.SimpleNamespace(
+        img_dir=img_dir,
+        save_dir="",
+        label_dir=lab_dir,
+        model="ssd",
+        dataset="voc",
+        batch_size=4,
+        epochs=1,
+        opt="sgd",
+        lr=0.001,
+        momentum=0.9,
+        weight_decay=1e-4,
+        lr_scheduler="multisteplr",
+        lr_steps=[16, 22],
+        lr_gamma=0.1,
+        resume="",
+        start_epoch=0,
+        img_size=320,
+        max_targets=8,
+        print_freq=1,
+        seed=0,
+    )
+    train_cli.main(ns)

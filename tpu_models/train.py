@@ -2,11 +2,12 @@
 
 CLI-compatible rebuild of /root/reference/torch_models/train.py (same flags:
 --model/-b/--epochs/--opt/--lr/--momentum/-wd/--lr-scheduler/--lr-steps/
---lr-gamma/--resume/--start-epoch; same checkpoint protocol: checkpoint.pth
-every epoch, model_{epoch}.pth every 10th, {model, optimizer, lr_scheduler,
-args, epoch} payload). The training step runs jitted on the accelerator with
-the batch axis sharded over all local devices (data parallelism over ICI
-replacing the reference's latent DDP).
+--lr-gamma/--resume/--start-epoch; same model choices ssd / faster_rcnn /
+retinanet plus yolov5*; same checkpoint protocol: checkpoint.pth every epoch,
+model_{epoch}.pth every 10th, {model, optimizer, lr_scheduler, args, epoch}).
+The per-family training step runs jitted on the accelerator with the batch
+axis sharded over all local devices (data parallelism over ICI replacing the
+reference's latent DDP).
 
 Data: images + YOLO-format label files (the output of data_processing/label.py)
 instead of raw torchvision VOCDetection — pass the image directory and
@@ -27,13 +28,12 @@ def main(opts):
     import jax
     import jax.numpy as jnp
 
+    from edgeml_tpu.models.engine import make_detector, make_family_train_step
     from edgeml_tpu.models.train import (
-        TrainConfig, load_checkpoint, lr_at, make_train_step, pad_targets,
-        save_checkpoint,
+        TrainConfig, load_checkpoint, lr_at, pad_targets, save_checkpoint,
     )
     from edgeml_tpu.models.common import letterbox_batch
     from edgeml_tpu.models.infer import load_images
-    from edgeml_tpu.models.yolov5 import YoloV5
     from edgeml_tpu.data import load_data, list_image_names
     from edgeml_tpu.parallel import make_mesh, shard_along, replicate, MetricLogger
 
@@ -48,17 +48,17 @@ def main(opts):
         epochs=opts.epochs,
     )
     num_classes = 20 if opts.dataset == "voc" else 80
-    net = YoloV5(variant=opts.model.replace("yolov5", "") or "n",
-                 num_classes=num_classes, img_size=opts.img_size)
-    params, stats = net.init(jax.random.PRNGKey(opts.seed))
-    opt, step = make_train_step(net, cfg)
+    net, params, stats = make_detector(opts.model, num_classes, opts.img_size)
+    is_yolo = opts.model.startswith("yolov5")
+    size = net.img_size if is_yolo else net.image_size
+    opt, step = make_family_train_step(net, cfg)
     opt_state = opt.init(params)
 
     if opts.resume:
         params, stats, opt_state, payload = load_checkpoint(opts.resume)
         opts.start_epoch = payload["epoch"] + 1
 
-    # Data: pre-letterbox all images once (host), labels from YOLO txt files.
+    # Data: pre-process all images once (host), labels from YOLO txt files.
     names = list_image_names(opts.label_dir)
     img_names, images = load_images(opts.img_dir)
     stems = [".".join(n.split(".")[:-1]) or n for n in img_names]
@@ -66,23 +66,63 @@ def main(opts):
     images = [images[i] for i in order]
     raw_labels = load_data(opts.label_dir, names, with_conf=False)
 
-    lb, meta = letterbox_batch(images, opts.img_size)
-    # Labels are normalized to the ORIGINAL image; remap into letterbox space.
-    label_rows = []
-    for img, (r, dw, dh), lab in zip(images, meta, raw_labels):
-        if len(lab) == 0:
-            label_rows.append(np.zeros((0, 5), np.float32))
-            continue
-        cls, xyxy = lab
-        h, w = img.shape[:2]
-        x1 = (xyxy[:, 0] * w * r + dw) / opts.img_size
-        y1 = (xyxy[:, 1] * h * r + dh) / opts.img_size
-        x2 = (xyxy[:, 2] * w * r + dw) / opts.img_size
-        y2 = (xyxy[:, 3] * h * r + dh) / opts.img_size
-        rows = np.stack(
-            [cls, (x1 + x2) / 2, (y1 + y2) / 2, x2 - x1, y2 - y1], axis=1
-        ).astype(np.float32)
-        label_rows.append(rows)
+    if is_yolo:
+        lb, meta = letterbox_batch(images, size)
+        # Labels are normalized to the ORIGINAL image; remap into letterbox
+        # space.
+        label_rows = []
+        for img, (r, dw, dh), lab in zip(images, meta, raw_labels):
+            if len(lab) == 0:
+                label_rows.append(np.zeros((0, 5), np.float32))
+                continue
+            cls, xyxy = lab
+            h, w = img.shape[:2]
+            x1 = (xyxy[:, 0] * w * r + dw) / size
+            y1 = (xyxy[:, 1] * h * r + dh) / size
+            x2 = (xyxy[:, 2] * w * r + dw) / size
+            y2 = (xyxy[:, 3] * h * r + dh) / size
+            label_rows.append(
+                np.stack(
+                    [cls, (x1 + x2) / 2, (y1 + y2) / 2, x2 - x1, y2 - y1], 1
+                ).astype(np.float32)
+            )
+    else:
+        # Plain square resize: normalized labels are unchanged.
+        mean = np.array([0.485, 0.456, 0.406], np.float32)
+        std = np.array([0.229, 0.224, 0.225], np.float32)
+        lb = np.stack(
+            [
+                (
+                    np.asarray(
+                        jax.image.resize(
+                            jnp.asarray(im, jnp.float32), (size, size, 3),
+                            "bilinear",
+                        )
+                    )
+                    - mean
+                )
+                / std
+                for im in images
+            ]
+        )
+        label_rows = []
+        for lab in raw_labels:
+            if len(lab) == 0:
+                label_rows.append(np.zeros((0, 5), np.float32))
+            else:
+                cls, xyxy = lab
+                label_rows.append(
+                    np.stack(
+                        [
+                            cls,
+                            (xyxy[:, 0] + xyxy[:, 2]) / 2,
+                            (xyxy[:, 1] + xyxy[:, 3]) / 2,
+                            xyxy[:, 2] - xyxy[:, 0],
+                            xyxy[:, 3] - xyxy[:, 1],
+                        ],
+                        1,
+                    ).astype(np.float32)
+                )
 
     n = len(images)
     bs = opts.batch_size
@@ -94,10 +134,12 @@ def main(opts):
     )
     if mesh is not None:
         params = replicate(params, mesh)
-        stats = replicate(stats, mesh)
+        if stats is not None:
+            stats = replicate(stats, mesh)
 
     steps_per_epoch = max(n // bs, 1)
     rng = np.random.default_rng(opts.seed)
+    key = jax.random.PRNGKey(opts.seed)
     print("Start training")
     for epoch in range(opts.start_epoch, opts.epochs):
         logger = MetricLogger()
@@ -113,12 +155,16 @@ def main(opts):
                 targets = shard_along(targets, mesh)
                 valid = shard_along(valid, mesh)
             lr = lr_at(cfg, epoch, it, steps_per_epoch)
+            key, sub = jax.random.split(key)
             t0 = time.time()
             params, stats, opt_state, loss, parts = step(
-                params, stats, opt_state, imgs, targets, valid, lr
+                params, stats, opt_state, imgs, targets, valid, lr, sub
             )
+            loss_v = float(loss)
+            if not np.isfinite(loss_v):
+                raise FloatingPointError(f"Loss is {loss_v}, stopping training")
             logger.update(
-                loss=float(loss), lr=lr, iter_time=time.time() - t0,
+                loss=loss_v, lr=lr, iter_time=time.time() - t0,
                 **{k: float(v) for k, v in parts.items()},
             )
             if it % opts.print_freq == 0:
@@ -145,8 +191,9 @@ def getargs():
     args.add_argument('save_dir', help="Directory to save the trained model weights.")
     args.add_argument('--label-dir', required=True,
                       help="Directory of YOLO-format label .txt files (from data_processing/label.py).")
-    args.add_argument('--model', type=str, default="yolov5n",
-                      help="Detector to train: yolov5n/s/m/l/x.")
+    args.add_argument('--model', type=str, default="ssd",
+                      help="The object detector. Available choices include 'ssd', 'faster_rcnn', "
+                           "'retinanet', and 'yolov5n'..'yolov5x'.")
     args.add_argument('--dataset', type=str, default="voc", help="'voc' (20 classes) or 'coco' (80).")
     args.add_argument('-b', '--batch-size', default=32, type=int, help="Batch size for model training.")
     args.add_argument('--epochs', type=int, default=30, help="Number of total epochs to run.")
