@@ -69,14 +69,39 @@ def load_data(path: str, files: Sequence[str], with_conf: bool = False):
 
     Format parity with /root/reference/lib/data.py:11-43: rows are
     "cls x y w h [conf]" in normalized xywh-center; empty/missing files yield
-    an empty tuple.
+    an empty tuple. Text files are parsed by the native threaded reader
+    (native/fastio.cpp) when available; .npy files and any file the native
+    parser rejects go through the Python path.
     """
+    cols = 6 if with_conf else 5
+    txt_paths, txt_pos = [], []
+    for i, file in enumerate(files):
+        fp = os.path.join(path, file) + ".txt"
+        if os.path.isfile(fp):
+            txt_paths.append(fp)
+            txt_pos.append(i)
+    native = None
+    if txt_paths:
+        from . import fastio
+
+        native = fastio.load_txt_boxes(txt_paths, cols)
+    native_by_idx = {}
+    if native is not None:
+        for pos, arr in zip(txt_pos, native):
+            native_by_idx[pos] = arr
+
     data = []
-    for file in files:
-        arr = _read_rows(os.path.join(path, file))
-        if arr is None:
+    for i, file in enumerate(files):
+        arr = native_by_idx.get(i)
+        if arr is not None and len(arr) == 0:
             data.append(())
             continue
+        if arr is None:
+            arr = _read_rows(os.path.join(path, file))
+            if arr is None:
+                data.append(())
+                continue
+        arr = np.asarray(arr, float)
         cls = arr[:, 0].astype(int)
         boxes = _xywh2xyxy_np(arr[:, 1:5])
         if with_conf:

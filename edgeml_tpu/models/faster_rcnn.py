@@ -260,24 +260,17 @@ class FasterRCNN:
 
     @staticmethod
     def _nms_level(boxes, scores, thresh, width):
-        """Greedy NMS keeping order; suppressed entries get -inf scores."""
+        """Greedy NMS keeping order; suppressed entries get -inf scores.
 
-        def body(i, carry):
-            alive, out_scores = carry
-            s = jnp.where(alive, scores, -jnp.inf)
-            j = jnp.argmax(s)
-            ok = jnp.isfinite(s[j])
-            out_scores = out_scores.at[j].set(jnp.where(ok, scores[j], -jnp.inf))
-            iou = _iou_one_vs_many(boxes[j], boxes)
-            alive = alive & (iou <= thresh) & ok
-            return alive, out_scores
+        Runs in the fused Pallas suppression kernel; objectness logits are
+        mapped through sigmoid (monotone, strictly positive) since the kernel
+        treats score <= 0 as invalid.
+        """
+        from ..ops.nms_pallas import suppress_mask
 
-        n = boxes.shape[0]
-        iters = min(width, n)
-        alive0 = jnp.isfinite(scores)
-        kept = jnp.full((n,), -jnp.inf)
-        _, kept = jax.lax.fori_loop(0, iters, body, (alive0, kept))
-        return boxes, kept
+        p = jnp.where(jnp.isfinite(scores), jax.nn.sigmoid(scores), 0.0)
+        kept = suppress_mask(boxes, p, float(thresh), min(width, boxes.shape[0]))
+        return boxes, jnp.where(kept, p, -jnp.inf)
 
     def run_box_head(self, params, feats, boxes):
         """RoIAlign + head for one image's (P, 4) proposals ->

@@ -25,7 +25,7 @@ from .common import letterbox_batch
 from .yolov5 import YoloV5
 
 
-@partial(jax.jit, static_argnames=("net", "max_det", "multi_label"))
+@partial(jax.jit, static_argnames=("net", "max_det", "multi_label", "iou_thres"))
 def _detect_batch(
     net: YoloV5,
     params,

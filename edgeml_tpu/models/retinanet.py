@@ -207,7 +207,7 @@ def retina_loss(net: RetinaNet, cls_logits, reg, anchors, gt_boxes, gt_cls, gt_v
     return total, {"classification": jnp.mean(cls_l), "bbox_regression": jnp.mean(box_l)}
 
 
-@partial(jax.jit, static_argnames=("net", "max_det"))
+@partial(jax.jit, static_argnames=("net", "max_det", "nms_thresh"))
 def retina_postprocess(
     net: RetinaNet,
     cls_logits,

@@ -83,7 +83,7 @@ def ssd_loss(net, cls_logits, reg, anchors, gt_boxes, gt_cls, gt_valid):
     }
 
 
-@partial(jax.jit, static_argnames=("net", "max_det"))
+@partial(jax.jit, static_argnames=("net", "max_det", "nms_thresh"))
 def ssd_postprocess(
     net,
     cls_logits,  # (B, A, C)

@@ -33,7 +33,7 @@ def _iou_one_vs_many(box, boxes):
     return inter / jnp.maximum(a + b - inter, 1e-12)
 
 
-@partial(jax.jit, static_argnames=("max_det", "max_cand"))
+@partial(jax.jit, static_argnames=("max_det", "max_cand", "iou_thres"))
 def nms_rows(
     boxes: jax.Array,  # (N, 4) xyxy
     scores: jax.Array,  # (N,) — entries <= 0 are ignored
@@ -76,7 +76,7 @@ def nms_rows(
 
 @partial(
     jax.jit,
-    static_argnames=("max_det", "max_cand", "multi_label"),
+    static_argnames=("max_det", "max_cand", "multi_label", "iou_thres"),
 )
 def non_max_suppression(
     pred: jax.Array,
@@ -126,29 +126,12 @@ def non_max_suppression(
         top_scores, box_idx = jax.lax.top_k(scores, k)
         cls_idx = best_cls[box_idx].astype(jnp.float32)
 
-    cand_valid = top_scores > 0.0
     cand_boxes = xyxy[box_idx]
-    off_boxes = cand_boxes + cls_idx[:, None] * MAX_WH  # class-aware offset
+    # Suppression runs in the fused Pallas kernel (ops/nms_pallas.py) — the
+    # XLA fori formulation round-trips HBM every iteration and is ~5000x
+    # slower on TPU for K=2048.
+    from .nms_pallas import nms_pallas
 
-    def body(i, carry):
-        alive, out = carry
-        s = jnp.where(alive, top_scores, -jnp.inf)
-        j = jnp.argmax(s)
-        ok = s[j] > 0.0
-        row = jnp.where(
-            ok,
-            jnp.concatenate(
-                [cand_boxes[j], top_scores[j, None], cls_idx[j, None]]
-            ),
-            jnp.zeros((6,), pred.dtype),
-        )
-        out = out.at[i].set(row)
-        iou = _iou_one_vs_many(off_boxes[j], off_boxes)
-        alive = alive & (iou <= iou_thres) & ok
-        return alive, out
-
-    out0 = jnp.zeros((max_det, 6), pred.dtype)
-    alive0 = cand_valid
-    _, out = jax.lax.fori_loop(0, max_det, body, (alive0, out0))
-    valid = out[:, 4] > 0.0
-    return out, valid
+    return nms_pallas(
+        cand_boxes, top_scores, cls_idx, iou_thres=iou_thres, max_det=max_det
+    )

@@ -1,0 +1,114 @@
+"""Detection transforms: geometry preservation and box bookkeeping."""
+
+import numpy as np
+import pytest
+
+from edgeml_tpu.data.transforms import (
+    Compose, RandomHorizontalFlip, RandomIoUCrop, RandomZoomOut,
+    RandomPhotometricDistort, ScaleJitter, FixedSizeCrop, RandomShortestSize,
+    SimpleCopyPaste,
+)
+
+
+def sample(h=60, w=80):
+    rng = np.random.default_rng(0)
+    img = rng.random((h, w, 3)).astype(np.float32)
+    boxes = np.array([[10, 10, 30, 40], [50, 20, 70, 50]], np.float32)
+    labels = np.array([1, 2])
+    return img, {"boxes": boxes, "labels": labels}
+
+
+def test_hflip_geometry():
+    img, tgt = sample()
+    rng = np.random.default_rng(1)
+    out, t2 = RandomHorizontalFlip(p=1.0)(img, tgt, rng)
+    assert np.allclose(t2["boxes"][0], [80 - 30, 10, 80 - 10, 40])
+    assert np.allclose(out[:, ::-1], img)
+    # widths preserved
+    w0 = tgt["boxes"][:, 2] - tgt["boxes"][:, 0]
+    w1 = t2["boxes"][:, 2] - t2["boxes"][:, 0]
+    assert np.allclose(w0, w1)
+
+
+def test_zoom_out_keeps_boxes_on_image():
+    img, tgt = sample()
+    rng = np.random.default_rng(2)
+    out, t2 = RandomZoomOut(p=1.0)(img, tgt, rng)
+    assert out.shape[0] >= img.shape[0] and out.shape[1] >= img.shape[1]
+    b = t2["boxes"]
+    assert (b[:, 2] <= out.shape[1]).all() and (b[:, 3] <= out.shape[0]).all()
+    # box sizes unchanged
+    assert np.allclose(
+        b[:, 2] - b[:, 0], tgt["boxes"][:, 2] - tgt["boxes"][:, 0]
+    )
+
+
+def test_iou_crop_keeps_valid_targets():
+    img, tgt = sample()
+    rng = np.random.default_rng(3)
+    out, t2 = RandomIoUCrop()(img, tgt, rng)
+    assert len(t2["boxes"]) == len(t2["labels"])
+    if len(t2["boxes"]):
+        b = t2["boxes"]
+        assert (b[:, 2] > b[:, 0]).all() and (b[:, 3] > b[:, 1]).all()
+        assert (b <= max(out.shape[:2])).all()
+
+
+def test_photometric_shapes_and_range():
+    img, tgt = sample()
+    rng = np.random.default_rng(4)
+    out, t2 = RandomPhotometricDistort(p=1.0)(img, tgt, rng)
+    assert out.shape == img.shape
+    assert out.min() >= 0.0 and out.max() <= 1.0
+    assert np.array_equal(t2["boxes"], tgt["boxes"])
+
+
+def test_scale_jitter_scales_boxes():
+    img, tgt = sample()
+    rng = np.random.default_rng(5)
+    out, t2 = ScaleJitter(target_size=(120, 160), scale_range=(0.5, 0.5))(
+        img, tgt, rng
+    )
+    r = out.shape[0] / img.shape[0]
+    assert np.allclose(t2["boxes"], tgt["boxes"] * r, atol=1e-4)
+
+
+def test_fixed_size_crop_exact_output():
+    img, tgt = sample()
+    rng = np.random.default_rng(6)
+    out, t2 = FixedSizeCrop(size=(32, 32))(img, tgt, rng)
+    assert out.shape == (32, 32, 3)
+    if len(t2["boxes"]):
+        assert (t2["boxes"] <= 32).all()
+
+
+def test_random_shortest_size():
+    img, tgt = sample()
+    rng = np.random.default_rng(7)
+    out, t2 = RandomShortestSize(min_size=(48,), max_size=100)(img, tgt, rng)
+    assert min(out.shape[:2]) == 48 or max(out.shape[:2]) == 100
+
+
+def test_copy_paste_adds_objects():
+    a = sample()
+    b = sample()
+    rng = np.random.default_rng(8)
+    out, t2 = SimpleCopyPaste(p=1.0)(a, b, rng)
+    assert len(t2["boxes"]) >= len(a[1]["boxes"])
+    assert len(t2["boxes"]) == len(t2["labels"])
+
+
+def test_compose_pipeline():
+    img, tgt = sample()
+    rng = np.random.default_rng(9)
+    pipe = Compose(
+        [
+            RandomPhotometricDistort(),
+            RandomZoomOut(),
+            RandomIoUCrop(),
+            RandomHorizontalFlip(),
+        ]
+    )
+    out, t2 = pipe(img, tgt, rng)
+    assert out.ndim == 3 and out.shape[2] == 3
+    assert len(t2["boxes"]) == len(t2["labels"])
