@@ -71,6 +71,7 @@ def _nms_kernel(boxes_ref, scores_ref, out_ref, kept_ref, alive_ref, *, iou_thre
     jax.lax.fori_loop(0, max_det, body, 0)
 
 
+@functools.partial(jax.custom_jvp, nondiff_argnums=(2, 3))
 def _suppress(planes, srow, iou_thres: float, max_det: int):
     """Run the fused kernel. planes: (8, K) box rows; srow: (8, K) score row.
     Returns (out (max_det, 8), kept (1, K) 0/1 mask of surviving rows)."""
@@ -87,6 +88,15 @@ def _suppress(planes, srow, iou_thres: float, max_det: int):
         scratch_shapes=[pltpu.VMEM((1, k), jnp.float32)],
         interpret=jax.default_backend() != "tpu",
     )(planes, srow)
+
+
+@_suppress.defjvp
+def _suppress_jvp(iou_thres, max_det, primals, tangents):
+    # Selection/suppression is piecewise constant in its inputs: the correct
+    # tangent is zero (this also keeps pallas_call out of JVP tracing when
+    # the surrounding loss graph is differentiated).
+    out = _suppress(*primals, iou_thres, max_det)
+    return out, jax.tree_util.tree_map(jnp.zeros_like, out)
 
 
 def suppress_mask(boxes: jax.Array, scores: jax.Array,
