@@ -99,9 +99,16 @@ def make_train_step(net: YoloV5, cfg: TrainConfig):
     return opt, step
 
 
-def save_checkpoint(path: str, params, stats, opt_state, cfg, epoch: int):
+def save_checkpoint(path: str, params, stats, opt_state, cfg, epoch: int,
+                    backend: str = "pickle"):
     """Checkpoint dict parity with train.py:126-136 ({model, optimizer,
-    lr_scheduler, args, epoch}); written only by the primary process."""
+    lr_scheduler, args, epoch}); written only by the primary process.
+
+    backend="orbax" stores the same payload through orbax-checkpoint
+    (directory format, async-capable, multi-host safe) — the TPU-native
+    upgrade path; "pickle" (default) keeps the reference's single-file
+    protocol.
+    """
     if not is_primary():
         return
     payload = {
@@ -115,14 +122,26 @@ def save_checkpoint(path: str, params, stats, opt_state, cfg, epoch: int):
         "args": dataclasses.asdict(cfg),
         "epoch": epoch,
     }
+    if backend == "orbax":
+        import orbax.checkpoint as ocp
+
+        with ocp.PyTreeCheckpointer() as ckptr:
+            ckptr.save(os.path.abspath(path), payload, force=True)
+        return
     Path(os.path.dirname(path) or ".").mkdir(parents=True, exist_ok=True)
     with open(path, "wb") as f:
         pickle.dump(payload, f)
 
 
 def load_checkpoint(path: str):
-    with open(path, "rb") as f:
-        payload = pickle.load(f)
+    if os.path.isdir(path):  # orbax directory checkpoint
+        import orbax.checkpoint as ocp
+
+        with ocp.PyTreeCheckpointer() as ckptr:
+            payload = ckptr.restore(os.path.abspath(path))
+    else:
+        with open(path, "rb") as f:
+            payload = pickle.load(f)
     model = jax.tree_util.tree_map(jnp.asarray, payload["model"])
     opt_state = jax.tree_util.tree_map(
         lambda a: jnp.asarray(a) if isinstance(a, np.ndarray) else a,

@@ -21,8 +21,9 @@ from edgeml_tpu.reward import compute_rewards
 
 
 def main(opts):
+    iouv = np.linspace(0.5, 0.95, 10) if getattr(opts, "map_range", False) else None
     weak_data, strong_data, labels = set_data(
-        opts.weak_dir, opts.strong_dir, opts.label_dir
+        opts.weak_dir, opts.strong_dir, opts.label_dir, iouv=iouv
     )
     reward, execution_time = compute_rewards(
         weak_data,
@@ -59,6 +60,9 @@ def getargs():
     args.add_argument('--seed', type=int, default=0,
                       help="Seed for the ensemble sampling RNG (deterministic, unlike the reference).")
     args.add_argument('--verbose', action='store_true', help="Print per-image rewards.")
+    args.add_argument('--map-range', action='store_true',
+                      help="Score with mAP@0.5:0.95 instead of mAP@0.5 (the reference's "
+                           "commented alternative, lib/data.py:62).")
     return args.parse_args()
 
 

@@ -17,8 +17,9 @@ from edgeml_tpu.eval import test_map
 
 
 def main(opts):
+    iouv = np.linspace(0.5, 0.95, 10) if getattr(opts, "map_range", False) else None
     weak_data, strong_data, labels = set_data(
-        opts.weak_dir, opts.strong_dir, opts.label_dir
+        opts.weak_dir, opts.strong_dir, opts.label_dir, iouv=iouv
     )
     dataset_split = np.load(opts.split_path)
     estimates = []
@@ -40,6 +41,8 @@ def getargs():
     args.add_argument('split_path', help="Path to the dataset split (for cross validation).")
     args.add_argument('save_dir', help="Directory to save the achieved mAP.")
     args.add_argument('--estimates', nargs='+', type=str, help='Directories to the reward estimation file(s).')
+    args.add_argument('--map-range', action='store_true',
+                      help="Score with mAP@0.5:0.95 instead of mAP@0.5.")
     return args.parse_args()
 
 
