@@ -332,3 +332,57 @@ class FasterRCNN:
             out_d.append(d)
             out_v.append(v)
         return jnp.stack(out_d), jnp.stack(out_v)
+
+
+def faster_rcnn_params_from_torch_state_dict(net: FasterRCNN, sd):
+    """Order-based torchvision fasterrcnn_resnet50_fpn_v2 import. The v2 box
+    head trains its convs under BatchNorm2d; those BN statistics are FOLDED
+    into this model's bias-carrying convs (exact at inference)."""
+    import jax
+    import numpy as np
+
+    from .import_torch import OrderedImporter
+    from .resnet import import_resnet_fpn
+
+    params = dict(net.init(jax.random.PRNGKey(0)))
+    imp = OrderedImporter(sd)
+    params["backbone"] = import_resnet_fpn(imp, params["backbone"], "maxpool")
+
+    rpn = dict(params["rpn"])
+    for name in ("conv1", "conv2", "cls", "reg"):
+        cp = dict(rpn[name])
+        cp["w"] = imp.conv(f"rpn.{name}", cp["w"])
+        cp["b"] = imp.vec(f"rpn.{name}.bias", cp["b"])
+        rpn[name] = cp
+    params["rpn"] = rpn
+
+    bh = dict(params["box_head"])
+    convs = []
+    for ci, cp in enumerate(bh["convs"]):
+        cp = dict(cp)
+        w = imp.conv(f"box_head.conv{ci}", cp["w"])  # no bias (BN follows)
+        g = imp.vec(f"box_head.conv{ci}.bn.weight", cp["b"])
+        b = imp.vec(f"box_head.conv{ci}.bn.bias", cp["b"])
+        m = imp.vec(f"box_head.conv{ci}.bn.mean", cp["b"])
+        v = imp.vec(f"box_head.conv{ci}.bn.var", cp["b"])
+        scale = g * jax.lax.rsqrt(v + 1e-5)
+        cp["w"] = w * scale[None, None, None, :]
+        cp["b"] = b - m * scale
+        convs.append(cp)
+    bh["convs"] = convs
+    fc = dict(bh["fc"])
+    fc["w"] = imp.linear("box_head.fc", fc["w"])
+    fc["b"] = imp.vec("box_head.fc.bias", fc["b"])
+    bh["fc"] = fc
+    for name in ("cls", "reg"):
+        cp = dict(bh[name])
+        cp["w"] = imp.linear(f"box_predictor.{name}", cp["w"])
+        cp["b"] = imp.vec(f"box_predictor.{name}.bias", cp["b"])
+        bh[name] = cp
+    params["box_head"] = bh
+    imp.done()
+    return params
+
+
+FasterRCNN.params_from_torch_state_dict = lambda self, sd: \
+    faster_rcnn_params_from_torch_state_dict(self, sd)

@@ -174,3 +174,34 @@ def _make_divisible(v, divisor=8):
     if new_v < 0.9 * v:
         new_v += divisor
     return new_v
+
+
+def import_mobilenet(imp, params, stats):
+    """Consume a torchvision MobileNetV3-Large features.* prefix in module
+    order (stem CNA, inverted residuals with optional expand/SE, last CNA)."""
+    from .import_torch import import_convbn
+
+    p, s = dict(params), dict(stats)
+    p["stem"], s["stem"] = import_convbn(imp, "stem", p["stem"], s["stem"])
+    bp_new, bs_new = [], []
+    for bi, (bp, bs) in enumerate(zip(p["blocks"], s["blocks"])):
+        bp, bs = dict(bp), dict(bs)
+        if "expand" in bp:
+            bp["expand"], bs["expand"] = import_convbn(
+                imp, f"block{bi}.expand", bp["expand"], bs["expand"]
+            )
+        bp["dw"], bs["dw"] = import_convbn(imp, f"block{bi}.dw", bp["dw"], bs["dw"])
+        if "se" in bp:
+            se = {"fc1": dict(bp["se"]["fc1"]), "fc2": dict(bp["se"]["fc2"])}
+            for fc in ("fc1", "fc2"):
+                se[fc]["w"] = imp.conv(f"block{bi}.se.{fc}", se[fc]["w"])
+                se[fc]["b"] = imp.vec(f"block{bi}.se.{fc}.bias", se[fc]["b"])
+            bp["se"] = se
+        bp["project"], bs["project"] = import_convbn(
+            imp, f"block{bi}.project", bp["project"], bs["project"]
+        )
+        bp_new.append(bp)
+        bs_new.append(bs)
+    p["blocks"], s["blocks"] = bp_new, bs_new
+    p["last"], s["last"] = import_convbn(imp, "last", p["last"], s["last"])
+    return p, s

@@ -154,3 +154,40 @@ class ResNet50FPN:
             p7 = p7 + params["p7"]["b"]
             feats.extend([p6, p7])
         return feats
+
+
+def import_resnet_fpn(imp, params, extra: str):
+    """Consume a torchvision BackboneWithFPN prefix in module order: resnet
+    body (stem, bottleneck stages with trailing downsample), FPN inner then
+    layer blocks (plain convs with bias), then P6/P7 when present."""
+    from .import_torch import import_frozen_convbn
+
+    p = dict(params)
+    p["stem"] = import_frozen_convbn(imp, "stem", p["stem"])
+    stages = []
+    for si, blocks in enumerate(p["stages"]):
+        new_blocks = []
+        for bi, bp in enumerate(blocks):
+            bp = dict(bp)
+            for cv in ("conv1", "conv2", "conv3"):
+                bp[cv] = import_frozen_convbn(imp, f"layer{si+1}.{bi}.{cv}", bp[cv])
+            if "down" in bp:
+                bp["down"] = import_frozen_convbn(imp, f"layer{si+1}.{bi}.down", bp["down"])
+            new_blocks.append(bp)
+        stages.append(new_blocks)
+    p["stages"] = stages
+    for group in ("fpn_lateral", "fpn_output"):
+        new = []
+        for li, cp in enumerate(p[group]):
+            cp = dict(cp)
+            cp["w"] = imp.conv(f"{group}.{li}", cp["w"])
+            cp["b"] = imp.vec(f"{group}.{li}.bias", cp["b"])
+            new.append(cp)
+        p[group] = new
+    if extra == "p6p7":
+        for name in ("p6", "p7"):
+            cp = dict(p[name])
+            cp["w"] = imp.conv(name, cp["w"])
+            cp["b"] = imp.vec(name + ".bias", cp["b"])
+            p[name] = cp
+    return p

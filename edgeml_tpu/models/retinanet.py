@@ -234,3 +234,45 @@ def retina_postprocess(
         )
 
     return jax.vmap(one)(scores, boxes)
+
+
+def retinanet_params_from_torch_state_dict(net: RetinaNet, sd):
+    """Order-based torchvision retinanet_resnet50_fpn_v2 import. Tower convs
+    carry no bias under GroupNorm in torchvision; ours stay zero."""
+    from .import_torch import OrderedImporter
+    from .resnet import import_resnet_fpn
+
+    params = net.init(jax.random.PRNGKey(0))
+    imp = OrderedImporter(sd)
+    params = dict(params)
+    params["backbone"] = import_resnet_fpn(imp, params["backbone"], "p6p7")
+
+    def tower(layers, name):
+        new = []
+        for li, layer in enumerate(layers):
+            layer = dict(layer)
+            layer["w"] = imp.conv(f"{name}.{li}", layer["w"])
+            layer["b"] = jnp.zeros_like(layer["b"])  # no conv bias under GN
+            gn = dict(layer["gn"])
+            gn["g"] = imp.vec(f"{name}.{li}.gn.weight", gn["g"])
+            gn["b"] = imp.vec(f"{name}.{li}.gn.bias", gn["b"])
+            layer["gn"] = gn
+            new.append(layer)
+        return new
+
+    params["cls_tower"] = tower(params["cls_tower"], "cls_tower")
+    co = dict(params["cls_out"])
+    co["w"] = imp.conv("cls_out", co["w"])
+    co["b"] = imp.vec("cls_out.bias", co["b"])
+    params["cls_out"] = co
+    params["reg_tower"] = tower(params["reg_tower"], "reg_tower")
+    ro = dict(params["reg_out"])
+    ro["w"] = imp.conv("reg_out", ro["w"])
+    ro["b"] = imp.vec("reg_out.bias", ro["b"])
+    params["reg_out"] = ro
+    imp.done()
+    return params
+
+
+RetinaNet.params_from_torch_state_dict = lambda self, sd: \
+    retinanet_params_from_torch_state_dict(self, sd)

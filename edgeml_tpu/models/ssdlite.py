@@ -218,3 +218,55 @@ class SSDLite:
             ],
             -1,
         )
+
+
+def _import_head(imp, head_p, head_s, name):
+    from .import_torch import import_convbn
+
+    new_p, new_s = [], []
+    for li, (hp, hs) in enumerate(zip(head_p, head_s)):
+        hp, hs = dict(hp), dict(hs)
+        hp["dw"], hs["dw"] = import_convbn(imp, f"{name}.{li}.dw", hp["dw"], hs["dw"])
+        proj = dict(hp["proj"])
+        proj["w"] = imp.conv(f"{name}.{li}.proj", proj["w"])
+        proj["b"] = imp.vec(f"{name}.{li}.proj.bias", proj["b"])
+        hp["proj"] = proj
+        new_p.append(hp)
+        new_s.append(hs)
+    return new_p, new_s
+
+
+def ssdlite_params_from_torch_state_dict(net: SSDLite, sd):
+    """Order-based torchvision ssdlite320_mobilenet_v3_large import
+    (see models/import_torch.py for mechanics and caveats). Returns
+    (params, stats)."""
+    import jax
+
+    from .import_torch import OrderedImporter, import_convbn
+    from .mobilenetv3 import import_mobilenet
+
+    params, stats = net.init(jax.random.PRNGKey(0))
+    imp = OrderedImporter(sd)
+    params["backbone"], stats["backbone"] = import_mobilenet(
+        imp, params["backbone"], stats["backbone"]
+    )
+    ep_new, es_new = [], []
+    for ei, (ep, es) in enumerate(zip(params["extra"], stats["extra"])):
+        ep, es = dict(ep), dict(es)
+        for part in ("reduce", "dw", "expand"):
+            ep[part], es[part] = import_convbn(imp, f"extra{ei}.{part}", ep[part], es[part])
+        ep_new.append(ep)
+        es_new.append(es)
+    params["extra"], stats["extra"] = ep_new, es_new
+    params["cls_head"], stats["cls_head"] = _import_head(
+        imp, params["cls_head"], stats["cls_head"], "cls_head"
+    )
+    params["reg_head"], stats["reg_head"] = _import_head(
+        imp, params["reg_head"], stats["reg_head"], "reg_head"
+    )
+    imp.done()
+    return params, stats
+
+
+SSDLite.params_from_torch_state_dict = lambda self, sd: \
+    ssdlite_params_from_torch_state_dict(self, sd)

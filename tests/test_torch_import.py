@@ -1,0 +1,199 @@
+"""Order-based torchvision import: roundtrip mechanics per detector family.
+
+A Recorder pass walks each importer to learn the expected tensor sequence
+(kinds + shapes), a synthetic state_dict is built in exactly that order, and
+the real importer must consume it fully, map layouts correctly, and yield a
+finite forward pass. (True torchvision key order is unverifiable in this
+image — docs/DIVERGENCES.md item 9.)
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from edgeml_tpu.models import import_torch as it
+
+
+class Recorder(it.OrderedImporter):
+    """Walks an importer call sequence, recording the torch-side tensor
+    shapes instead of consuming a dict."""
+
+    def __init__(self):
+        self.shapes = []  # (shape, positive_only)
+
+    def _rec(self, shape, positive=False):
+        self.shapes.append((tuple(shape), positive))
+
+    def conv(self, path, hwio):
+        h, w, i, o = hwio.shape
+        self._rec((o, i, h, w))
+        return hwio
+
+    def vec(self, path, a):
+        self._rec(a.shape)
+        return a
+
+    def linear(self, path, io):
+        i, o = io.shape
+        self._rec((o, i))
+        return io
+
+    def bn(self, path, g, b, m, v):
+        self._rec(g.shape)
+        self._rec(b.shape)
+        self._rec(m.shape)
+        self._rec(v.shape, positive=True)  # running variance must be > 0
+        return g, b, m, v
+
+    def done(self):
+        pass
+
+
+def synth_sd(shapes, rng):
+    out = {}
+    for i, (s, positive) in enumerate(shapes):
+        v = 0.05 * rng.standard_normal(s)
+        if positive:
+            v = np.abs(v) + 0.05
+        out[f"t{i}"] = v.astype(np.float32)
+    return out
+
+
+def _roundtrip(build_net, import_fn, forward):
+    rec = Recorder()
+    import_fn(rec)  # record pass
+    rng = np.random.default_rng(0)
+    sd = synth_sd(rec.shapes, rng)
+    params = build_net(sd)
+    out = forward(params)
+    for leaf in jax.tree_util.tree_leaves(out):
+        assert np.isfinite(np.asarray(leaf)).all()
+    # first tensor must be the stem conv, OIHW -> HWIO
+    first = sd["t0"]
+    stem = _find_stem(params)
+    assert np.allclose(np.asarray(stem), first.transpose(2, 3, 1, 0))
+
+
+def _find_stem(params):
+    p = params[0] if isinstance(params, tuple) else params
+    if "backbone" in p:
+        p = p["backbone"]
+    return p["stem"]["w"]
+
+
+def test_ssdlite_import_roundtrip():
+    from edgeml_tpu.models.ssdlite import SSDLite, ssdlite_params_from_torch_state_dict
+
+    net = SSDLite(num_classes=5, image_size=320)
+
+    def record(rec):
+        import edgeml_tpu.models.ssdlite as m
+
+        params, stats = net.init(jax.random.PRNGKey(0))
+        from edgeml_tpu.models.mobilenetv3 import import_mobilenet
+
+        import_mobilenet(rec, params["backbone"], stats["backbone"])
+        from edgeml_tpu.models.import_torch import import_convbn
+
+        for ei, (ep, es) in enumerate(zip(params["extra"], stats["extra"])):
+            for part in ("reduce", "dw", "expand"):
+                import_convbn(rec, f"e{ei}.{part}", ep[part], es[part])
+        m._import_head(rec, params["cls_head"], stats["cls_head"], "c")
+        m._import_head(rec, params["reg_head"], stats["reg_head"], "r")
+
+    def build(sd):
+        return ssdlite_params_from_torch_state_dict(net, sd)
+
+    def forward(ps):
+        params, stats = ps
+        x = jnp.zeros((1, 320, 320, 3))
+        (cls, reg), _ = net.apply(params, stats, x)
+        return cls, reg
+
+    _roundtrip(build, record, forward)
+
+
+def test_retinanet_import_roundtrip():
+    from edgeml_tpu.models.retinanet import (
+        RetinaNet, retinanet_params_from_torch_state_dict,
+    )
+
+    net = RetinaNet(num_classes=5, image_size=256)
+
+    def record(rec):
+        params = net.init(jax.random.PRNGKey(0))
+        from edgeml_tpu.models.resnet import import_resnet_fpn
+
+        import_resnet_fpn(rec, params["backbone"], "p6p7")
+        for name in ("cls_tower", "cls_out", "reg_tower", "reg_out"):
+            if name.endswith("tower"):
+                for layer in params[name]:
+                    rec.conv(name, layer["w"])
+                    rec.vec(name, layer["gn"]["g"])
+                    rec.vec(name, layer["gn"]["b"])
+            else:
+                rec.conv(name, params[name]["w"])
+                rec.vec(name, params[name]["b"])
+
+    def build(sd):
+        return retinanet_params_from_torch_state_dict(net, sd)
+
+    def forward(params):
+        return net.apply(params, jnp.zeros((1, 256, 256, 3)))
+
+    _roundtrip(build, record, forward)
+
+
+def test_faster_rcnn_import_roundtrip():
+    from edgeml_tpu.models.faster_rcnn import (
+        FasterRCNN, faster_rcnn_params_from_torch_state_dict, rpn_anchors,
+    )
+
+    net = FasterRCNN(num_classes=5, image_size=256, rpn_post_nms=32,
+                     detections_per_img=8)
+
+    def record(rec):
+        params = net.init(jax.random.PRNGKey(0))
+        from edgeml_tpu.models.resnet import import_resnet_fpn
+
+        import_resnet_fpn(rec, params["backbone"], "maxpool")
+        for name in ("conv1", "conv2", "cls", "reg"):
+            rec.conv(name, params["rpn"][name]["w"])
+            rec.vec(name, params["rpn"][name]["b"])
+        for cp in params["box_head"]["convs"]:
+            rec.conv("bh", cp["w"])
+            rec.bn("bh", cp["b"], cp["b"], cp["b"], cp["b"])
+        rec.linear("fc", params["box_head"]["fc"]["w"])
+        rec.vec("fc", params["box_head"]["fc"]["b"])
+        for name in ("cls", "reg"):
+            rec.linear(name, params["box_head"][name]["w"])
+            rec.vec(name, params["box_head"][name]["b"])
+
+    def build(sd):
+        return faster_rcnn_params_from_torch_state_dict(net, sd)
+
+    def forward(params):
+        anchors = [jnp.asarray(a) for a in rpn_anchors(256)]
+        dets, valid = net.detect(
+            params, jnp.zeros((1, 256, 256, 3)), anchors
+        )
+        return dets
+
+    _roundtrip(build, record, forward)
+
+
+def test_shape_mismatch_raises():
+    imp = it.OrderedImporter({"x": np.zeros((4, 3, 3, 3), np.float32)})
+    with pytest.raises(ValueError, match="expected shape"):
+        imp.conv("stem", jnp.zeros((3, 3, 3, 8)))  # wants (8, 3, 3, 3)
+
+
+def test_leftover_tensors_raise():
+    imp = it.OrderedImporter(
+        {"a": np.zeros((4,), np.float32), "b": np.zeros((4,), np.float32)}
+    )
+    imp.vec("a", jnp.zeros((4,)))
+    with pytest.raises(ValueError, match="unconsumed"):
+        imp.done()
