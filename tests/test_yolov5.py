@@ -178,3 +178,19 @@ def test_weight_import_roundtrip(tiny_net):
     x = jax.random.normal(jax.random.PRNGKey(2), (1, 128, 128, 3))
     heads, _, _ = net.apply(p2, s2, x)
     assert all(np.isfinite(np.asarray(h)).all() for h in heads)
+
+
+def test_bn_fusion_equivalence(tiny_net):
+    from edgeml_tpu.models.yolov5 import fuse_convbn
+
+    net, params, stats = tiny_net
+    # non-trivial BN statistics
+    import jax as _jax
+
+    x = _jax.random.normal(_jax.random.PRNGKey(5), (2, 128, 128, 3))
+    _, stats2, _ = net.apply(params, stats, x, train=True)
+    fused_p, fused_s = fuse_convbn(params, stats2)
+    h1, _, _ = net.apply(params, stats2, x, train=False)
+    h2, _, _ = net.apply(fused_p, fused_s, x, train=False)
+    for a, b in zip(h1, h2):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=2e-4)
