@@ -81,21 +81,19 @@ def getargs():
     """Parse command line arguments."""
     args = argparse.ArgumentParser()
     args.add_argument('data_dir',
-                      help="Directory that saves the data needed for predicting the offloading reward. "
-                           "For Adaptive Feeding, this should be features extracted from the weak detector outputs. "
-                           "For DCSB, this should be the weak detector's outputs.")
-    args.add_argument('reward_path', help="Path to the (pre-computed) offloading reward.")
-    args.add_argument('split_path', help="Path to the dataset split (for cross validation).")
-    args.add_argument('save_dir', help="Directory to save the estimated offloading reward.")
+                      help="Inputs for the chosen baseline: the stage-24 feature tree for 'af', "
+                           "the weak detector's raw detection files for 'dcsb'.")
+    args.add_argument('reward_path', help="Reward .npz produced by reward.py.")
+    args.add_argument('split_path', help="Cross-validation split .npy.")
+    args.add_argument('save_dir', help="Output directory for estimate{k}.npz files.")
     args.add_argument('--baseline', type=str, default="af", choices=['af', 'dcsb'],
-                      help="The baseline method. Available choices include 'af' (Adaptive Feeding) "
-                           "and 'dcsb' (difficult-case based small-big model).")
+                      help="Baseline method: Adaptive Feeding SVM or DCSB thresholds.")
     args.add_argument('--positive_weight', type=float, default=3.0,
-                      help="The weight for the positive reward class. Only active when baseline is 'af'.")
+                      help="Class weight of the offload-positive class ('af' only).")
     args.add_argument('--label_dir', type=str, default='',
-                      help="Directory that saves the ground truth annotations of the dataset. Only active when "
-                           "baseline is 'dcsb'.")
-    args.add_argument('--model_dir', type=str, default='', help="Directory to save the model weights.")
+                      help="Ground-truth label files, needed for 'dcsb' calibration.")
+    args.add_argument('--model_dir', type=str, default='',
+                      help="Where to save/load per-fold wts{k}.pickle files.")
     return args.parse_args()
 
 

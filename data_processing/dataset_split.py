@@ -22,9 +22,9 @@ def main(opts):
 def getargs():
     """Parse command line arguments."""
     args = argparse.ArgumentParser()
-    args.add_argument('img_dir', help="Directory where the images in the (validation) dataset are stored.")
-    args.add_argument('save_path', help="Path of file to save the dataset split.")
-    args.add_argument('--num-split', type=int, default=5, help="The number of splits for cross validation.")
+    args.add_argument('img_dir', help="Image directory whose file count sizes the split.")
+    args.add_argument('save_path', help="Output .npy path for the fold masks.")
+    args.add_argument('--num-split', type=int, default=5, help="Number of cross-validation folds.")
     return args.parse_args()
 
 

@@ -33,11 +33,11 @@ def main(opts):
 def getargs():
     """Parse command line arguments."""
     args = argparse.ArgumentParser()
-    args.add_argument('output_dir', help="Directory to the (weak detector's) detection output files.")
-    args.add_argument('save_dir', help="Directory to save the extracted features.")
-    args.add_argument('label_dir', help="Directory to the ground truth annotations.")
-    args.add_argument('--k', type=int, default=25, help="Top-K bounding boxes to collect.")
-    args.add_argument('--dataset', type=str, default="coco", help="The dataset to process ('coco' or 'voc').")
+    args.add_argument('output_dir', help="Weak-detector per-image detection files.")
+    args.add_argument('save_dir', help="Feature-tree root ({img}/stage24_output_features.npy).")
+    args.add_argument('label_dir', help="Label files defining the image universe.")
+    args.add_argument('--k', type=int, default=25, help="Number of top boxes per feature vector.")
+    args.add_argument('--dataset', type=str, default="coco", help="'coco' (80 classes) or 'voc' (20).")
     return args.parse_args()
 
 

@@ -24,9 +24,9 @@ def main(opts):
 def getargs():
     """Parse command line arguments."""
     args = argparse.ArgumentParser()
-    args.add_argument('data_dir', help="Directory where the dataset is downloaded and extracted.")
-    args.add_argument('save_dir', help="Directory to save the processed object annotations.")
-    args.add_argument('--dataset', type=str, default="coco", help="The dataset to process ('coco' or 'voc').")
+    args.add_argument('data_dir', help="Dataset root (COCO with annotations/, or VOC with VOCdevkit/).")
+    args.add_argument('save_dir', help="Output root for per-split label directories.")
+    args.add_argument('--dataset', type=str, default="coco", help="Annotation format: 'coco' or 'voc'.")
     return args.parse_args()
 
 

@@ -100,29 +100,22 @@ def main(opts):
 def getargs():
     """Parse command line arguments."""
     args = argparse.ArgumentParser()
-    args.add_argument('data_dir', help="Directory that saves the weak detector feature maps.")
-    args.add_argument('reward_path', help="Path to the (pre-computed) offloading reward.")
-    args.add_argument('split_path', help="Path to the dataset split (for cross validation).")
-    args.add_argument('save_dir', help="Directory to save the estimated offloading reward.")
+    args.add_argument('data_dir', help="Feature-map tree ({img}/stage{S}_..._features.npy).")
+    args.add_argument('reward_path', help="Reward .npz produced by reward.py.")
+    args.add_argument('split_path', help="Cross-validation split .npy.")
+    args.add_argument('save_dir', help="Output directory for estimate{k}.npz files.")
     args.add_argument('--normalize', action='store_true',
-                      help="Whether normalize the offloading reward into a uniform distribution when training the " +
-                           "regression model.")
+                      help="Rank-normalize rewards to a uniform distribution before fitting.")
     args.add_argument('--weight', action='store_true',
-                      help="Whether to apply a rescaling weight to each data point when computing MSE loss during " +
-                           "training. Only active when 'normalize' is set to true and the regression model is 'CNN'.")
+                      help="Reward-weighted MSE during CNN training (requires --normalize).")
     args.add_argument('--stage', type=int, default=24,
-                      help="Stage number of the selected feature map. For yolov5 detectors, this should be a number " +
-                           "between [0, 24]. Value between 0-23 stands for intermediate feature map from one of the " +
-                           "hidden layer. 24 stands for feature extracted from detection output.")
+                      help="Feature stage: 0-23 = hidden-layer feature maps, 24 = detection-output features.")
     args.add_argument('--resize', type=int, default=0,
-                      help="Size (H,W) of the feature maps after resizing. If 0, skip resizing.")
+                      help="ROI-pool hidden feature maps to this square size (0 = keep raw shapes).")
     args.add_argument('--model', type=str, default='CNN',
-                      help="Type of the regression model. Available choices include 'LR' (Linear Regression), " +
-                           "'EN' (Elastic Net), 'BR' (Bayesian Ridge), 'SGD' (Stochastic Gradient Descent), " +
-                           "'SVR' (Support Vector Regression), 'LSVR' (Linear Support Vector Regression), " +
-                           "'RFR' (Random Forest Regressor), 'GBR' (Gradient Boosting Regressor), " +
-                           "'KNR' (K-nearest Neighbors Regressor), and 'CNN' (Convolutional Neural Network).")
-    args.add_argument('--model-dir', type=str, default='', help="Directory to save the model weights.")
+                      help="Estimator family: LR, EN, BR, SGD, SVR, LSVR, RFR, GBR, KNR, or CNN.")
+    args.add_argument('--model-dir', type=str, default='',
+                      help="Where to save/load per-fold model weights (wts{k} files).")
     return args.parse_args()
 
 

@@ -48,15 +48,14 @@ def main(opts):
 def getargs():
     """Parse command line arguments."""
     args = argparse.ArgumentParser()
-    args.add_argument('weak_dir', help="Directory to the weak detector output files.")
-    args.add_argument('strong_dir', help="Directory to the strong detector output files.")
-    args.add_argument('label_dir', help="Directory to the ground truth annotations.")
-    args.add_argument('save_dir', help="Directory to save the computed offloading rewards.")
+    args.add_argument('weak_dir', help="Per-image detection files of the weak (edge) detector.")
+    args.add_argument('strong_dir', help="Per-image detection files of the strong (cloud) detector.")
+    args.add_argument('label_dir', help="Per-image ground-truth label files.")
+    args.add_argument('save_dir', help="Output directory for the reward .npz file.")
     args.add_argument('--method', type=str, default="orie", choices=['orie', 'dcsb'],
-                      help="Method used to compute the offloading reward.")
+                      help="Reward definition to compute.")
     args.add_argument('--num-ensemble', type=int, default=1000,
-                      help="Number of ensemble images when computing the offloading reward, only active when method"
-                           "is 'orie', in which case setting num-ensemble to 0 yields ORI as the reward metric.")
+                      help="Monte-Carlo ensemble size for 'orie' (0 computes plain ORI).")
     args.add_argument('--seed', type=int, default=0,
                       help="Seed for the ensemble sampling RNG (deterministic, unlike the reference).")
     args.add_argument('--verbose', action='store_true', help="Print per-image rewards.")

@@ -35,12 +35,13 @@ def main(opts):
 def getargs():
     """Parse command line arguments."""
     args = argparse.ArgumentParser()
-    args.add_argument('weak_dir', help="Directory to the weak detector output files.")
-    args.add_argument('strong_dir', help="Directory to the strong detector output files.")
-    args.add_argument('label_dir', help="Directory to the ground truth annotations.")
-    args.add_argument('split_path', help="Path to the dataset split (for cross validation).")
-    args.add_argument('save_dir', help="Directory to save the achieved mAP.")
-    args.add_argument('--estimates', nargs='+', type=str, help='Directories to the reward estimation file(s).')
+    args.add_argument('weak_dir', help="Per-image detection files of the weak detector.")
+    args.add_argument('strong_dir', help="Per-image detection files of the strong detector.")
+    args.add_argument('label_dir', help="Per-image ground-truth label files.")
+    args.add_argument('split_path', help="Cross-validation split .npy (from dataset_split.py).")
+    args.add_argument('save_dir', help="Output directory for test_map.npy.")
+    args.add_argument('--estimates', nargs='+', type=str,
+                      help="One or more estimate{k}.npz directories to evaluate.")
     args.add_argument('--map-range', action='store_true',
                       help="Score with mAP@0.5:0.95 instead of mAP@0.5.")
     return args.parse_args()

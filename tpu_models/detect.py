@@ -125,15 +125,14 @@ def main(opts):
 def getargs():
     """Parse command line arguments."""
     args = argparse.ArgumentParser()
-    args.add_argument('img_dir', help="Directory that saves the image dataset for detection.")
-    args.add_argument('save_dir', help="Directory to save the detection outputs.")
-    args.add_argument('--dataset', type=str, default="coco", help="The dataset to process ('coco' or 'voc').")
+    args.add_argument('img_dir', help="Image directory to run detection over.")
+    args.add_argument('save_dir', help="Output directory for per-image detection files.")
+    args.add_argument('--dataset', type=str, default="coco", help="Label space: 'coco' or 'voc'.")
     args.add_argument('--model', type=str, default="ssd",
                       help="The object detector. Choices: 'yolov5n'..'yolov5x' (native), "
                            "'ssd', 'faster_rcnn', 'retinanet'.")
     args.add_argument("--model-path", type=str, default="",
-                      help="Location of the saved object detection model weights. Use empty string to load default "
-                           "weights pre-trained on COCO.")
+                      help="Weights file (.pt state_dict or .npz); empty = random init (smoke tests only).")
     args.add_argument('--batch-size', type=int, default=16, help="Inference batch size.")
     args.add_argument('--conf-thres', type=float, default=0.001, help="Confidence threshold.")
     args.add_argument('--iou-thres', type=float, default=0.6, help="NMS IoU threshold.")
