@@ -168,3 +168,32 @@ def test_extract_output_feature(tmp_path):
     assert v.shape == (3 + 10,)
     assert v[1] == 1 and v[0] == 1  # class histogram
     assert np.allclose(v[3:8], [0.5, 0.5, 0.2, 0.2, 0.9])
+
+
+def test_reward_cli_map_range(tmp_path):
+    """--map-range computes rewards from mAP@0.5:0.95 TP matrices."""
+    import types
+    import reward as reward_cli
+
+    rng = np.random.default_rng(17)
+    dirs = write_dataset(tmp_path, rng)
+    ns = types.SimpleNamespace(
+        weak_dir=dirs["weak"],
+        strong_dir=dirs["strong"],
+        label_dir=dirs["label"],
+        save_dir=str(tmp_path / "rewards10"),
+        method="orie",
+        num_ensemble=2,
+        seed=0,
+        verbose=False,
+        map_range=True,
+    )
+    reward_cli.main(ns)
+    r = np.load(tmp_path / "rewards10" / "orie2.npz")["reward"]
+    assert r.shape == (6,) and np.isfinite(r).all()
+    # the 10-threshold TP matrices really reach set_data
+    iouv = np.linspace(0.5, 0.95, 10)
+    weak, strong, labels = set_data(
+        dirs["weak"], dirs["strong"], dirs["label"], iouv=iouv
+    )
+    assert weak[0][0].shape[1] == 10

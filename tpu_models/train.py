@@ -195,19 +195,20 @@ def getargs():
                       help="The object detector. Available choices include 'ssd', 'faster_rcnn', "
                            "'retinanet', and 'yolov5n'..'yolov5x'.")
     args.add_argument('--dataset', type=str, default="voc", help="'voc' (20 classes) or 'coco' (80).")
-    args.add_argument('-b', '--batch-size', default=32, type=int, help="Batch size for model training.")
-    args.add_argument('--epochs', type=int, default=30, help="Number of total epochs to run.")
-    args.add_argument('--opt', default="sgd", type=str, help="optimizer")
-    args.add_argument('--lr', default=0.02, type=float, help="initial learning rate")
-    args.add_argument('--momentum', default=0.9, type=float, help="momentum")
-    args.add_argument('-wd', '--weight-decay', default=1e-4, type=float, help="weight decay")
-    args.add_argument('--lr-scheduler', default="multisteplr", type=str, help="name of lr scheduler")
+    args.add_argument('-b', '--batch-size', default=32, type=int, help="Training batch size.")
+    args.add_argument('--epochs', type=int, default=30, help="Total training epochs.")
+    args.add_argument('--opt', default="sgd", type=str, help="'sgd' or 'adamw'.")
+    args.add_argument('--lr', default=0.02, type=float, help="Base learning rate.")
+    args.add_argument('--momentum', default=0.9, type=float, help="SGD momentum.")
+    args.add_argument('-wd', '--weight-decay', default=1e-4, type=float, help="L2 weight decay.")
+    args.add_argument('--lr-scheduler', default="multisteplr", type=str,
+                      help="'multisteplr' or 'cosineannealinglr'.")
     args.add_argument('--lr-steps', default=[16, 22], nargs="+", type=int,
-                      help="decrease lr every step-size epochs (multisteplr scheduler only)")
+                      help="Epochs at which MultiStep drops the learning rate.")
     args.add_argument('--lr-gamma', default=0.1, type=float,
-                      help="decrease lr by a factor of lr-gamma (multisteplr scheduler only)")
-    args.add_argument("--resume", default="", type=str, help="path of checkpoint")
-    args.add_argument("--start-epoch", default=0, type=int, help="start epoch")
+                      help="MultiStep decay factor per milestone.")
+    args.add_argument("--resume", default="", type=str, help="Checkpoint to resume from.")
+    args.add_argument("--start-epoch", default=0, type=int, help="First epoch index (with --resume).")
     args.add_argument("--img-size", default=640, type=int, help="train image size")
     args.add_argument("--max-targets", default=64, type=int, help="padded targets per image")
     args.add_argument("--print-freq", default=100, type=int, help="log every N iterations")
