@@ -44,11 +44,10 @@ def rpn_anchors(image_size: int):
     sizes = list(RPN_SIZES) + [512]
     for size, stride in zip(sizes, strides):
         f = math.ceil(image_size / stride)
+        # torchvision convention: aspect_ratio = h/w (see retina_anchors).
         whs = []
         for r in ASPECT_RATIOS:
-            h = math.sqrt(size * size / r)
-            w = r * h
-            whs.append((w, h))
+            whs.append((size / math.sqrt(r), size * math.sqrt(r)))
         whs = np.array(whs, np.float32)
         ys, xs = np.meshgrid(np.arange(f), np.arange(f), indexing="ij")
         cx = (xs.reshape(-1, 1) + 0.5) * stride

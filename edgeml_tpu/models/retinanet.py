@@ -35,13 +35,14 @@ def retina_anchors(image_size: int, strides=(8, 16, 32, 64, 128)):
     out = []
     for size, stride in zip(ANCHOR_SIZES, strides):
         f = math.ceil(image_size / stride)
+        # torchvision AnchorGenerator ordering: ratio-major (ratio slowest,
+        # scale fastest), with aspect_ratio = h/w — per-index parity matters
+        # for imported head weights.
         whs = []
-        for octave in SCALE_OCTAVES:
-            area = (size * octave) ** 2
-            for r in ASPECT_RATIOS:
-                h = math.sqrt(area / r)
-                w = r * h
-                whs.append((w, h))
+        for r in ASPECT_RATIOS:
+            for octave in SCALE_OCTAVES:
+                s = size * octave
+                whs.append((s / math.sqrt(r), s * math.sqrt(r)))
         whs = np.array(whs, np.float32)  # (9, 2)
         ys, xs = np.meshgrid(np.arange(f), np.arange(f), indexing="ij")
         cx = (xs.reshape(-1, 1) + 0.5) * stride

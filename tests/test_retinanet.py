@@ -33,11 +33,11 @@ def test_anchor_grid():
     a = retina_anchors(256)
     want = sum(9 * (-(-256 // s)) ** 2 for s in (8, 16, 32, 64, 128))
     assert a.shape == (want, 4)
-    # first anchor: P3 cell (0,0), size 32, ratio 0.5 -> w*h = 1024, w/h = 0.5
+    # first anchor: P3 cell (0,0), size 32, torchvision ratio h/w = 0.5
     w = a[0, 2] - a[0, 0]
     h = a[0, 3] - a[0, 1]
     assert w * h == pytest.approx(32 * 32, rel=1e-4)
-    assert w / h == pytest.approx(0.5, rel=1e-4)
+    assert h / w == pytest.approx(0.5, rel=1e-4)
 
 
 def test_matcher_ignore_band():
