@@ -151,6 +151,54 @@ def run_ours(weak, strong, labels):
     return ips
 
 
+def run_yolo():
+    """YOLOv5n 640 end-to-end serving throughput (backbone + split decode +
+    class-aware NMS at conf 1e-5, i.e. a full 1024-candidate pool per image).
+
+    Methodology: launches are CHAINED through a scalar accumulator so each
+    step's completion gates the next — async dispatch or relay-side caching
+    of identical (program, args) pairs cannot inflate the number. Images are
+    generated on device from the loop index for the same reason.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from edgeml_tpu.models.infer import _detect_batch
+    from edgeml_tpu.models.yolov5 import YoloV5
+
+    b = int(os.environ.get("BENCH_YOLO_BATCH", 128))
+    iters = int(os.environ.get("BENCH_YOLO_ITERS", 10))
+    net = YoloV5(variant="n", num_classes=80, img_size=640)
+    params, stats = net.init(jax.random.PRNGKey(0))
+    meta = jnp.tile(jnp.asarray([[1.0, 0.0, 0.0]]), (b, 1))
+    hw = jnp.tile(jnp.asarray([[640.0, 640.0]]), (b, 1))
+
+    out = {}
+    for name, dt in (("f32", None), ("bf16", jnp.bfloat16)):
+        @jax.jit
+        def step(acc, seed, dt=dt):
+            imgs = jax.random.uniform(
+                jax.random.PRNGKey(seed), (b, 640, 640, 3), jnp.float32
+            )
+            d, v = _detect_batch(
+                net, params, stats, imgs, meta, hw, 1e-5, 0.6, dtype=dt
+            )
+            return acc + d.sum()
+
+        t0 = time.perf_counter()
+        jax.block_until_ready(step(jnp.zeros(()), 0))
+        log(f"yolo {name} warmup incl. compile: {time.perf_counter() - t0:.1f}s")
+        t0 = time.perf_counter()
+        acc = jnp.zeros(())
+        for i in range(iters):
+            acc = step(acc, 1 + i)
+        float(acc)
+        ips = b * iters / (time.perf_counter() - t0)
+        log(f"yolov5n inference {name} (B={b}): {ips:.0f} img/s")
+        out[name] = round(ips, 1)
+    return out
+
+
 def main():
     rng = np.random.default_rng(7)
     log(
@@ -160,6 +208,9 @@ def main():
     weak, strong, labels = make_workload(rng)
     baseline_ips = run_baseline(weak, strong, labels)
     ours_ips = run_ours(weak, strong, labels)
+    yolo = {}
+    if os.environ.get("BENCH_SKIP_YOLO", "0") != "1":
+        yolo = run_yolo()
     print(
         json.dumps(
             {
@@ -167,6 +218,9 @@ def main():
                 "value": round(ours_ips, 2),
                 "unit": "images/sec (E=1000, COCO-val-scale synthetic)",
                 "vs_baseline": round(ours_ips / baseline_ips, 2),
+                "yolov5n_infer_imgs_per_sec_f32": yolo.get("f32"),
+                "yolov5n_infer_imgs_per_sec_bf16": yolo.get("bf16"),
+                "yolov5n_infer_round1_imgs_per_sec": 300.0,
             }
         )
     )

@@ -261,11 +261,11 @@ class FasterRCNN:
     def _nms_level(boxes, scores, thresh, width):
         """Greedy NMS keeping order; suppressed entries get -inf scores.
 
-        Runs in the fused Pallas suppression kernel; objectness logits are
-        mapped through sigmoid (monotone, strictly positive) since the kernel
-        treats score <= 0 as invalid.
+        Runs through the fixpoint suppression (ops/nms.py); objectness logits
+        are mapped through sigmoid (monotone, strictly positive) since the
+        suppressor treats score <= 0 as invalid.
         """
-        from ..ops.nms_pallas import suppress_mask
+        from ..ops.nms import suppress_mask
 
         p = jnp.where(jnp.isfinite(scores), jax.nn.sigmoid(scores), 0.0)
         kept = suppress_mask(boxes, p, float(thresh), min(width, boxes.shape[0]))
@@ -322,15 +322,10 @@ class FasterRCNN:
             dets = dets.at[:, 5].add(jnp.where(dvalid, 1.0, 0.0))  # +1 for bg
             return dets, dvalid
 
-        b = images.shape[0]
-        out_d, out_v = [], []
-        for bi in range(b):
-            bi_feats = [f[bi] for f in feats[:4]]
-            bi_levels = [(c[bi], r[bi]) for c, r in rpn_outs]
-            d, v = one(bi_feats, bi_levels)
-            out_d.append(d)
-            out_v.append(v)
-        return jnp.stack(out_d), jnp.stack(out_v)
+        # One trace for the whole batch: every per-image op (top_k, fixpoint
+        # NMS, RoIAlign gathers, scatters) is vmappable, so the batch runs as
+        # one program instead of B unrolled copies.
+        return jax.vmap(one)(list(feats[:4]), rpn_outs)
 
 
 def faster_rcnn_params_from_torch_state_dict(net: FasterRCNN, sd):

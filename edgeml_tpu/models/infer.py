@@ -20,12 +20,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.nms import non_max_suppression
+from ..ops.nms import nms_split
 from .common import letterbox_batch
 from .yolov5 import YoloV5
 
 
-@partial(jax.jit, static_argnames=("net", "max_det", "multi_label", "iou_thres"))
+@partial(
+    jax.jit,
+    static_argnames=("net", "max_det", "multi_label", "iou_thres", "dtype"),
+)
 def _detect_batch(
     net: YoloV5,
     params,
@@ -37,18 +40,23 @@ def _detect_batch(
     iou_thres: float,
     max_det: int = 300,
     multi_label: bool = True,
+    dtype=None,
 ):
     """Forward + decode + NMS + unmap for one letterboxed batch.
+
+    Uses the split serving path (YoloV5.predict + ops.nms.nms_split): the
+    packed (B, N, 85) decode tensor never exists, so no strided minor-dim
+    slices reach the TPU. dtype optionally runs the trunk in bfloat16.
 
     Returns (dets (B, max_det, 6) rows [cls, x, y, w, h, conf] normalized to
     the ORIGINAL image size, valid (B, max_det)).
     """
-    heads, _, _ = net.apply(params, stats, images, train=False)
-    pred = net.decode(heads)  # (B, N, no), pixel xywh in letterbox space
+    obj, xywh, cls = net.predict(params, stats, images, dtype=dtype)
 
-    def one(p, m, hw):
-        dets, valid = non_max_suppression(
-            p, conf_thres, iou_thres, max_det=max_det, multi_label=multi_label
+    def one(obj_i, xywh_i, cls_i, m, hw):
+        dets, valid = nms_split(
+            obj_i, xywh_i, cls_i, conf_thres, iou_thres,
+            max_det=max_det, multi_label=multi_label,
         )
         r, dw, dh = m[0], m[1], m[2]
         x1 = (dets[:, 0] - dw) / r
@@ -73,7 +81,7 @@ def _detect_batch(
         )
         return out, valid
 
-    return jax.vmap(one)(pred, meta, orig_hw)
+    return jax.vmap(one)(obj, xywh, cls, meta, orig_hw)
 
 
 def load_images(img_dir: str):

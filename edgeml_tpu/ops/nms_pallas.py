@@ -1,11 +1,15 @@
-"""Pallas TPU kernel: fused greedy NMS suppression loop.
+"""Pallas TPU kernel: fused sequential greedy NMS (cross-check oracle).
 
-The XLA formulation of greedy NMS (ops/nms.py) runs max_det sequential
-fori steps, each reading/writing the candidate arrays through HBM. This
-kernel keeps the whole candidate set resident in VMEM — scores, the four
-box planes, and the alive mask never leave the chip — and runs the
-select-max / suppress loop entirely on the VPU, writing only the (max_det, 8)
-result. One kernel invocation per image; vmap over the batch.
+Keeps the whole candidate set resident in VMEM — scores, the four box
+planes, and the alive mask never leave the chip — and runs the literal
+select-max / suppress loop of max_det steps on the VPU. One kernel
+invocation per image; vmap over the batch.
+
+Production NMS now lives in ops/nms.py (greedy_keep_mask): the fixpoint
+formulation converges to the same greedy result in a handful of (K, K)
+matvecs instead of max_det serial steps, so this kernel's role is an
+independent sequential implementation that tests compare against
+(tests/test_nms_pallas.py).
 
 Falls back to interpreter mode off-TPU (tests run on CPU).
 """

@@ -3,6 +3,7 @@
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from edgeml_tpu.ops.nms import nms_rows
@@ -34,3 +35,94 @@ def test_pallas_nms_matches_xla(seed):
     assert np.allclose(got[sel, :4], want[sel, :4], atol=1e-2)
     assert np.allclose(got[sel, 4], want[sel, 4], atol=1e-6)
     assert np.array_equal(got[sel, 5], want[sel, 5])
+
+
+def _greedy_numpy(boxes, scores, thres, max_det):
+    """Independent sequential greedy NMS oracle (original index order ties)."""
+    alive = scores > 0
+    picks = []
+    for _ in range(max_det):
+        if not alive.any():
+            break
+        s = np.where(alive, scores, -np.inf)
+        j = int(np.argmax(s))
+        if s[j] <= 0:
+            break
+        picks.append(j)
+        lo = np.maximum(boxes[j, :2], boxes[:, :2])
+        hi = np.minimum(boxes[j, 2:], boxes[:, 2:])
+        inter = np.prod(np.maximum(hi - lo, 0.0), -1)
+        a = np.prod(np.maximum(boxes[j, 2:] - boxes[j, :2], 0.0))
+        b = np.prod(np.maximum(boxes[:, 2:] - boxes[:, :2], 0.0), -1)
+        iou = inter / np.maximum(a + b - inter, 1e-12)
+        alive &= iou <= thres
+    return picks
+
+
+def test_fixpoint_suppression_chain():
+    """A ladder of half-overlapping boxes in descending score order forces the
+    longest possible suppression chain (kept/suppressed alternate); the
+    fixpoint iteration must still converge to the exact greedy result."""
+    k = 64
+    boxes = np.stack(
+        [
+            np.arange(k, dtype=np.float32) * 6.0,
+            np.zeros(k, np.float32),
+            np.arange(k, dtype=np.float32) * 6.0 + 10.0,
+            np.full(k, 10.0, np.float32),
+        ],
+        axis=1,
+    )  # each box overlaps its neighbour with IoU ~ 0.25
+    scores = np.linspace(1.0, 0.1, k).astype(np.float32)
+    cls = np.zeros(k, np.float32)
+    got, got_v = nms_rows(
+        jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(cls),
+        iou_thres=0.2, max_det=k, max_cand=k,
+    )
+    picks = _greedy_numpy(boxes, scores, 0.2, k)
+    got = np.asarray(got)[np.asarray(got_v)]
+    assert len(picks) == len(got)
+    assert np.allclose(got[:, :4], boxes[picks], atol=1e-6)
+    assert np.allclose(got[:, 4], scores[picks], atol=1e-7)
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_suppress_mask_matches_pallas_oracle(seed):
+    from edgeml_tpu.ops.nms import suppress_mask
+    from edgeml_tpu.ops.nms_pallas import suppress_mask as pallas_mask
+
+    rng = np.random.default_rng(100 + seed)
+    k = 96
+    xy = rng.uniform(0, 300, (k, 2)).astype(np.float32)
+    wh = rng.uniform(10, 150, (k, 2)).astype(np.float32)
+    boxes = jnp.asarray(np.concatenate([xy, xy + wh], 1))
+    scores = rng.uniform(0.0, 1.0, k).astype(np.float32)
+    scores[rng.random(k) < 0.25] = 0.0
+    scores = jnp.asarray(scores)
+    for max_keep in (8, k):
+        want = np.asarray(pallas_mask(boxes, scores, 0.5, max_keep))
+        got = np.asarray(suppress_mask(boxes, scores, 0.5, max_keep))
+        assert np.array_equal(want, got)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_topk1d_matches_lax_topk(seed):
+    """Chunked exact top_k: bit-identical values AND indices (tie order)."""
+    from edgeml_tpu.ops.nms import topk1d
+
+    rng = np.random.default_rng(200 + seed)
+    n = int(rng.integers(1000, 90001))
+    k = int(rng.integers(1, min(n, 2000)))
+    kind = seed % 3
+    if kind == 0:
+        x = rng.standard_normal(n).astype(np.float32)
+    elif kind == 1:  # heavy ties incl. the gated -1 sentinel
+        x = rng.choice([-1.0, -1.0, 0.25, 0.5, 0.5], n).astype(np.float32)
+    else:  # nearly empty candidate set
+        x = np.full(n, -1.0, np.float32)
+        x[rng.choice(n, 7, replace=False)] = rng.random(7).astype(np.float32)
+    xv = jnp.asarray(x)
+    wv, wi = jax.lax.top_k(xv, k)
+    gv, gi = topk1d(xv, k, chunk=4096)
+    assert np.array_equal(np.asarray(wv), np.asarray(gv))
+    assert np.array_equal(np.asarray(wi), np.asarray(gi))

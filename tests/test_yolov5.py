@@ -194,3 +194,37 @@ def test_bn_fusion_equivalence(tiny_net):
     h2, _, _ = net.apply(fused_p, fused_s, x, train=False)
     for a, b in zip(h1, h2):
         assert np.allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_predict_split_matches_packed_decode():
+    """The serving path (predict + nms_split) must reproduce the packed path
+    (apply + decode + non_max_suppression): split head convs are the same
+    weights with output channels regrouped, and the two-stage candidate
+    selection is identical."""
+    net = YoloV5(variant="n", num_classes=8, img_size=64)
+    params, stats = net.init(jax.random.PRNGKey(3))
+    x = jax.random.uniform(jax.random.PRNGKey(4), (2, 64, 64, 3))
+
+    heads, _, _ = net.apply(params, stats, x, train=False)
+    pred = net.decode(heads)
+    obj, xywh, cls = net.predict(params, stats, x)
+
+    # component parity vs the packed tensor
+    np.testing.assert_allclose(np.asarray(pred[..., 4]), np.asarray(obj), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(pred[..., :4]), np.asarray(xywh), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(pred[..., 5:]), np.asarray(cls), atol=2e-6)
+
+    from edgeml_tpu.ops.nms import nms_split
+
+    for ml in (True, False):
+        want_d, want_v = jax.vmap(
+            lambda p: non_max_suppression(p, 1e-4, 0.5, multi_label=ml)
+        )(pred)
+        got_d, got_v = jax.vmap(
+            lambda o, b, c: nms_split(o, b, c, 1e-4, 0.5, multi_label=ml)
+        )(obj, xywh, cls)
+        assert np.asarray(want_v).sum() > 0  # the comparison must be non-vacuous
+        assert np.array_equal(np.asarray(want_v), np.asarray(got_v))
+        np.testing.assert_allclose(
+            np.asarray(want_d), np.asarray(got_d), atol=5e-4
+        )
