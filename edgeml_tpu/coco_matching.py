@@ -1,0 +1,209 @@
+"""COCOeval-compatible bbox matching and accumulation (host NumPy).
+
+Implements the matching semantics of pycocotools' COCOeval as wrapped by the
+reference (/root/reference/torch_models/references/coco_eval.py:13-192):
+
+  * per-category evaluation, detections visited in descending score order;
+  * each detection takes the not-yet-matched ground truth with the highest
+    IoU above the threshold, preferring non-ignored ground truths; crowd
+    ground truths can absorb any number of detections;
+  * crowd IoU divides by the DETECTION area (intersection-over-foreground);
+  * ground truths outside the area range are "ignored": they neither count
+    toward recall nor turn their matched detections into false positives;
+    unmatched detections outside the area range are ignored too;
+  * per (category, area-range, maxDets): detections capped per image at
+    maxDets by score, PR curve at 101 recall points with the running-max
+    precision envelope, AP = mean over the grid; categories with no
+    ground truth are excluded (not zero).
+
+This is the exactness-first scorer (weekly-run evaluation); the JAX greedy
+kernel in eval_coco.py stays the throughput path. Written from the published
+COCOeval algorithm; pycocotools itself is not available in this image.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+AREA_RNG = {
+    "all": (0.0, 1e10),
+    "small": (0.0, 32.0**2),
+    "medium": (32.0**2, 96.0**2),
+    "large": (96.0**2, 1e10),
+}
+REC_THRS = np.linspace(0.0, 1.0, 101)
+
+
+def iou_xyxy(dt: np.ndarray, gt: np.ndarray, crowd: np.ndarray) -> np.ndarray:
+    """(D, G) IoU matrix; for crowd gt columns the denominator is the
+    detection's own area (pycocotools `iscrowd` convention)."""
+    dt = dt.reshape(-1, 4)
+    gt = gt.reshape(-1, 4)
+    lo = np.maximum(dt[:, None, :2], gt[None, :, :2])
+    hi = np.minimum(dt[:, None, 2:], gt[None, :, 2:])
+    inter = np.prod(np.clip(hi - lo, 0.0, None), axis=-1)
+    d_area = np.prod(np.clip(dt[:, 2:] - dt[:, :2], 0.0, None), axis=-1)
+    g_area = np.prod(np.clip(gt[:, 2:] - gt[:, :2], 0.0, None), axis=-1)
+    union = np.where(
+        crowd[None, :].astype(bool),
+        d_area[:, None],
+        d_area[:, None] + g_area[None, :] - inter,
+    )
+    return inter / np.maximum(union, 1e-12)
+
+
+def match_image(
+    dt_boxes: np.ndarray,  # (D, 4) xyxy, ALREADY sorted by descending score
+    gt_boxes: np.ndarray,  # (G, 4) xyxy
+    gt_crowd: np.ndarray,  # (G,) bool
+    iouv: np.ndarray,  # (T,) thresholds
+    area_rng: tuple,
+) -> tuple:
+    """One (image, category) matching pass.
+
+    :return: (dt_matched (T, D) bool, dt_ignored (T, D) bool,
+        gt_ignored (G,) bool).
+    """
+    d, g = len(dt_boxes), len(gt_boxes)
+    t = len(iouv)
+    g_area = np.prod(np.clip(gt_boxes[:, 2:] - gt_boxes[:, :2], 0.0, None), -1) \
+        if g else np.zeros((0,))
+    gt_ig = gt_crowd.astype(bool) | (g_area < area_rng[0]) | (g_area > area_rng[1])
+    # visit non-ignored ground truths first (stable)
+    g_order = np.argsort(gt_ig, kind="stable")
+    dtm = np.zeros((t, d), dtype=np.int64) - 1
+    dt_ig_flag = np.zeros((t, d), bool)
+    if d and g:
+        ious = iou_xyxy(dt_boxes, gt_boxes, gt_crowd)
+        for ti, thr in enumerate(iouv):
+            gtm = np.zeros(g, dtype=np.int64) - 1
+            for di in range(d):
+                # iou >= thr matches; the cap lets thr=1.0 accept exact overlap
+                best = min(thr, 1.0 - 1e-10)
+                m = -1
+                for gi in g_order:
+                    if gtm[gi] >= 0 and not gt_crowd[gi]:
+                        continue
+                    # past all non-ignored gts with a real match in hand:
+                    # never trade it for an ignored gt
+                    if m > -1 and not gt_ig[m] and gt_ig[gi]:
+                        break
+                    if ious[di, gi] < best:
+                        continue
+                    best = ious[di, gi]
+                    m = gi
+                if m == -1:
+                    continue
+                dtm[ti, di] = m
+                gtm[m] = di
+                dt_ig_flag[ti, di] = gt_ig[m]
+    # unmatched detections outside the area range are ignored
+    if d:
+        d_area = np.prod(np.clip(dt_boxes[:, 2:] - dt_boxes[:, :2], 0.0, None), -1)
+        out = (d_area < area_rng[0]) | (d_area > area_rng[1])
+        dt_ig_flag |= (dtm < 0) & out[None, :]
+    return dtm >= 0, dt_ig_flag, gt_ig
+
+
+def evaluate_coco(
+    dets: list,  # per image: (cls (n,), boxes xyxy (n, 4), scores (n,))
+    gts: list,  # per image: (cls (m,), boxes xyxy (m, 4)[, iscrowd (m,)])
+    iouv: np.ndarray | None = None,
+    max_dets: tuple = (1, 10, 100),
+    area_names: tuple = ("all", "small", "medium", "large"),
+) -> dict:
+    """Full COCO-style evaluation over the dataset.
+
+    Returns the 12-number COCO summary plus the raw precision array
+    ap[T, R, C, A, M] (R = 101 recall points), with -1 marking absent
+    ground truth (excluded from means), exactly like COCOeval.accumulate.
+    """
+    iouv = np.asarray(iouv if iouv is not None else np.round(
+        np.linspace(0.5, 0.95, 10), 2))
+    cats = sorted(
+        {int(c) for d in dets for c in np.asarray(d[0]).reshape(-1)}
+        | {int(c) for g in gts for c in np.asarray(g[0]).reshape(-1)}
+    )
+    t, r = len(iouv), len(REC_THRS)
+    c_n, a_n, m_n = len(cats), len(area_names), len(max_dets)
+    precision = -np.ones((t, r, c_n, a_n, m_n))
+    recall = -np.ones((t, c_n, a_n, m_n))
+    max_cap = max(max_dets)
+
+    for ci, cat in enumerate(cats):
+        # per-image per-category slices, score-sorted, capped at max(max_dets)
+        per_img = []
+        for d, g in zip(dets, gts):
+            d_cls = np.asarray(d[0]).reshape(-1)
+            d_box = np.asarray(d[1]).reshape(-1, 4)
+            d_sc = np.asarray(d[2]).reshape(-1)
+            sel = d_cls == cat
+            order = np.argsort(-d_sc[sel], kind="mergesort")[:max_cap]
+            g_cls = np.asarray(g[0]).reshape(-1)
+            g_box = np.asarray(g[1]).reshape(-1, 4)
+            g_cr = (
+                np.asarray(g[2]).reshape(-1).astype(bool)
+                if len(g) > 2 else np.zeros(len(g_cls), bool)
+            )
+            gsel = g_cls == cat
+            per_img.append(
+                (d_box[sel][order], d_sc[sel][order], g_box[gsel], g_cr[gsel])
+            )
+        for ai, aname in enumerate(area_names):
+            rng = AREA_RNG[aname]
+            matched = [
+                match_image(db, gb, gc, iouv, rng)
+                for db, ds, gb, gc in per_img
+            ]
+            for mi, md in enumerate(max_dets):
+                scores = np.concatenate([ds[:md] for _, ds, _, _ in per_img])
+                dtm = np.concatenate(
+                    [m[0][:, :md] for m in matched], axis=1)  # (T, D)
+                dtig = np.concatenate([m[1][:, :md] for m in matched], axis=1)
+                npig = int(sum((~m[2]).sum() for m in matched))
+                if npig == 0:
+                    continue
+                order = np.argsort(-scores, kind="mergesort")
+                dtm, dtig = dtm[:, order], dtig[:, order]
+                tps = dtm & ~dtig
+                fps = ~dtm & ~dtig
+                tp_cum = np.cumsum(tps, axis=1).astype(float)
+                fp_cum = np.cumsum(fps, axis=1).astype(float)
+                for ti in range(t):
+                    tpc, fpc = tp_cum[ti], fp_cum[ti]
+                    rc = tpc / npig
+                    pr = tpc / np.maximum(tpc + fpc, np.spacing(1))
+                    recall[ti, ci, ai, mi] = rc[-1] if len(rc) else 0.0
+                    # precision envelope (running max from the right)
+                    q = np.zeros(r)
+                    if len(pr):
+                        pr = np.maximum.accumulate(pr[::-1])[::-1]
+                        inds = np.searchsorted(rc, REC_THRS, side="left")
+                        ok = inds < len(pr)
+                        q[ok] = pr[inds[ok]]
+                    precision[ti, :, ci, ai, mi] = q
+
+    def _mean(arr):
+        v = arr[arr > -1]
+        return float(np.mean(v)) if v.size else float("nan")
+
+    ai_all = area_names.index("all")
+    mi_100 = max_dets.index(max(max_dets))
+    stats = {
+        "map": _mean(precision[:, :, :, ai_all, mi_100]),
+        "map50": _mean(precision[0, :, :, ai_all, mi_100]),
+        "map75": _mean(precision[5, :, :, ai_all, mi_100])
+        if t > 5 else float("nan"),
+        "mar": _mean(recall[:, :, ai_all, mi_100]),
+        "precision": precision,
+        "recall": recall,
+        "categories": cats,
+    }
+    for aname in ("small", "medium", "large"):
+        if aname in area_names:
+            ai = area_names.index(aname)
+            stats[f"map_{aname}"] = _mean(precision[:, :, :, ai, mi_100])
+            stats[f"mar_{aname}"] = _mean(recall[:, :, ai, mi_100])
+    for mi, md in enumerate(max_dets):
+        stats[f"mar_{md}"] = _mean(recall[:, :, ai_all, mi])
+    return stats

@@ -10,10 +10,15 @@ reports AP@[.5:.95], AP@.5 and AP@.75.
 Cross-process behavior mirrors coco_eval.py:157-176: `synchronize_between_
 processes` all-gathers every process's accumulated images before summarizing.
 
-Documented divergences from pycocotools: greedy highest-IoU matching (the
-yolov5 convention used across this framework) instead of COCOeval's
-per-category sorted matching with crowd handling; no area-range or maxDets
-breakdowns (all detections are scored).
+Two scoring styles:
+
+  * style="greedy" (default, throughput path): greedy highest-IoU matching —
+    the yolov5 convention used across this framework — scored in ONE call of
+    the batched mAP kernel. No crowd handling or area/maxDets breakdowns.
+  * style="coco" (exactness path): full COCOeval bbox semantics — score-
+    sorted per-category matching, iscrowd ignores, area ranges, maxDets
+    1/10/100 — via edgeml_tpu.coco_matching on host. Use this when numbers
+    must be comparable to published torchvision/COCO results.
 """
 
 from __future__ import annotations
@@ -24,7 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from .data.io import _batched_correct
-from .ops.map_kernel import build_pool, map_from_masks
+from .ops.map_kernel import build_pool, map_per_threshold
 
 COCO_IOUV = np.round(np.linspace(0.5, 0.95, 10), 2)
 
@@ -32,15 +37,19 @@ COCO_IOUV = np.round(np.linspace(0.5, 0.95, 10), 2)
 class DetectionEvaluator:
     """Accumulate (detections, ground truth) per image; summarize dataset AP."""
 
-    def __init__(self, iouv=None):
+    def __init__(self, iouv=None, style: str = "greedy"):
+        assert style in ("greedy", "coco"), style
         self.iouv = np.asarray(iouv if iouv is not None else COCO_IOUV)
+        self.style = style
         self.dets = []  # per image: (cls (n,), xyxy (n, 4), conf (n,))
-        self.gts = []  # per image: (cls (m,), xyxy (m, 4))
+        self.gts = []  # per image: (cls (m,), xyxy (m, 4)[, iscrowd (m,)])
 
     def update(self, detections, ground_truths):
         """Add a batch. detections: iterable of (cls, boxes xyxy, conf);
-        ground_truths: iterable of (cls, boxes xyxy). Coordinates must share
-        one frame (pixels or normalized — only IoU matters)."""
+        ground_truths: iterable of (cls, boxes xyxy) or (cls, boxes xyxy,
+        iscrowd) — the crowd flag participates only in style="coco".
+        Coordinates must share one frame; style="coco" area ranges assume
+        pixels."""
         for d, g in zip(detections, ground_truths):
             self.dets.append(tuple(np.asarray(x) for x in d))
             self.gts.append(tuple(np.asarray(x) for x in g))
@@ -58,14 +67,17 @@ class DetectionEvaluator:
         self.gts = [g for proc in gathered[1] for g in proc]
 
     def summarize(self, verbose: bool = True) -> dict:
-        """Returns {'map': AP@[.5:.95], 'map50': AP@.5, 'map75': AP@.75}."""
+        """Returns {'map': AP@[.5:.95], 'map50': AP@.5, 'map75': AP@.75, ...};
+        style="coco" adds area-range and maxDets stats (COCOeval's 12)."""
+        if self.style == "coco":
+            return self._summarize_coco(verbose)
         det_list = [
             (c.astype(int), b.reshape(-1, 4), s) if len(c) else ()
             for c, b, s in self.dets
         ]
         gt_list = [
-            (c.astype(int), b.reshape(-1, 4)) if len(c) else ()
-            for c, b in self.gts
+            (g[0].astype(int), g[1].reshape(-1, 4)) if len(g[0]) else ()
+            for g in self.gts  # g may carry an iscrowd flag (coco style only)
         ]
         tp = _batched_correct(det_list, gt_list, self.iouv)
         weak = []
@@ -84,19 +96,8 @@ class DetectionEvaluator:
         n = pool.num_images
         ones = jnp.ones((n,), bool)
         zeros = jnp.zeros((n,), bool)
-        # per-threshold AP: reuse the kernel per threshold slice
-        aps = []
-        for t in range(len(self.iouv)):
-            sliced = pool.__class__(
-                tp=pool.tp[:, :, t : t + 1],
-                img=pool.img,
-                strong=pool.strong,
-                valid=pool.valid,
-                hist=pool.hist,
-                class_ids=pool.class_ids,
-            )
-            aps.append(float(map_from_masks(sliced, ones, zeros, ones)))
-        aps = np.asarray(aps)
+        # ONE kernel call: the (C, T) AP matrix is reduced per threshold
+        aps = np.asarray(map_per_threshold(pool, ones, zeros, ones))
         result = {
             "map": float(np.nanmean(aps)),
             "map50": float(aps[0]),
@@ -104,9 +105,29 @@ class DetectionEvaluator:
             "per_iou": aps,
         }
         if verbose:
+            self._print_summary(result)
+        return result
+
+    def _summarize_coco(self, verbose: bool) -> dict:
+        from .coco_matching import evaluate_coco
+
+        result = evaluate_coco(self.dets, self.gts, iouv=self.iouv)
+        if verbose:
+            self._print_summary(result)
             print(
-                f"Average Precision (AP) @[ IoU=0.50:0.95 ] = {result['map']:.3f}\n"
-                f"Average Precision (AP) @[ IoU=0.50      ] = {result['map50']:.3f}\n"
-                f"Average Precision (AP) @[ IoU=0.75      ] = {result['map75']:.3f}"
+                f"Average Precision (AP) @[ area= small ] = {result['map_small']:.3f}\n"
+                f"Average Precision (AP) @[ area=medium ] = {result['map_medium']:.3f}\n"
+                f"Average Precision (AP) @[ area= large ] = {result['map_large']:.3f}\n"
+                f"Average Recall    (AR) @[ maxDets=  1 ] = {result['mar_1']:.3f}\n"
+                f"Average Recall    (AR) @[ maxDets= 10 ] = {result['mar_10']:.3f}\n"
+                f"Average Recall    (AR) @[ maxDets=100 ] = {result['mar_100']:.3f}"
             )
         return result
+
+    @staticmethod
+    def _print_summary(result):
+        print(
+            f"Average Precision (AP) @[ IoU=0.50:0.95 ] = {result['map']:.3f}\n"
+            f"Average Precision (AP) @[ IoU=0.50      ] = {result['map50']:.3f}\n"
+            f"Average Precision (AP) @[ IoU=0.75      ] = {result['map75']:.3f}"
+        )

@@ -262,6 +262,25 @@ def map_from_masks(
         NaN when no selected image has labels (the reference maps NaN -> 0 at
         the reward level, reward.py:86).
     """
+    ap, has_labels = _ap_matrix(pool, weak_sel, strong_sel, label_sel)
+    denom = jnp.sum(has_labels) * ap.shape[1]
+    return jnp.sum(ap * has_labels[:, None]) / denom  # NaN when denom == 0
+
+
+def map_per_threshold(
+    pool: DetectionPool,
+    weak_sel: jax.Array,
+    strong_sel: jax.Array,
+    label_sel: jax.Array,
+) -> jax.Array:
+    """Per-IoU-threshold mAP (T,) for one subset selection — the (C, T) AP
+    matrix is computed once; no per-threshold pool re-slicing needed."""
+    ap, has_labels = _ap_matrix(pool, weak_sel, strong_sel, label_sel)
+    return jnp.sum(ap * has_labels[:, None], axis=0) / jnp.sum(has_labels)
+
+
+def _ap_matrix(pool, weak_sel, strong_sel, label_sel):
+    """(AP (C, T), has_labels (C,)) for one subset selection."""
     dtype = jnp.float32
     nt = jnp.matmul(label_sel.astype(dtype), pool.hist, preferred_element_type=dtype)  # (C,)
     sel = jnp.where(pool.strong, strong_sel[pool.img], weak_sel[pool.img])
@@ -276,9 +295,7 @@ def map_from_masks(
         return jax.vmap(lambda t, f: ap_interp101(t, f, nt_c), in_axes=1)(tpc, fpc)
 
     ap = jax.vmap(per_class)(pool.tp, m, nt)  # (C, T)
-    has_labels = (nt > 0).astype(dtype)
-    denom = jnp.sum(has_labels) * ap.shape[1]
-    return jnp.sum(ap * has_labels[:, None]) / denom  # NaN when denom == 0
+    return ap, (nt > 0).astype(dtype)
 
 
 def dataset_map(pool: DetectionPool, offload_mask: jax.Array) -> jax.Array:
