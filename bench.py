@@ -137,13 +137,16 @@ def run_ours(weak, strong, labels):
         f"shape C={pool.tp.shape[0]} K={pool.tp.shape[1]}"
     )
 
+    batch = os.environ.get("BENCH_ORIE_BATCH")
+    batch = int(batch) if batch else None
+
     # Warm up: compile the batched kernel (one-time, cached).
     t0 = time.perf_counter()
-    orie_rewards(weak, strong, labels, NUM_ENSEMBLE, seed=0, pool=pool)
+    orie_rewards(weak, strong, labels, NUM_ENSEMBLE, seed=0, pool=pool, batch=batch)
     log(f"warmup incl. compile: {time.perf_counter() - t0:.2f}s")
 
     t0 = time.perf_counter()
-    r = orie_rewards(weak, strong, labels, NUM_ENSEMBLE, seed=1, pool=pool)
+    r = orie_rewards(weak, strong, labels, NUM_ENSEMBLE, seed=1, pool=pool, batch=batch)
     elapsed = time.perf_counter() - t0
     ips = N_IMG / elapsed
     log(f"ours ({N_IMG} imgs): {elapsed:.2f}s -> {ips:.1f} img/s")

@@ -17,7 +17,7 @@ TPU-idiomatic formulation:
 
 Split gain is plain variance reduction (sklearn's 'squared_error' criterion;
 GBR's default friedman_mse differs only in tie-breaking). Behavioral
-equivalence is checked against sklearn in tests/test_trees.py.
+equivalence is checked against sklearn in tests/test_estimators.py.
 """
 
 from __future__ import annotations

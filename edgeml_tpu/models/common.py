@@ -107,9 +107,12 @@ def letterbox_batch(images, size: int = 640, pad_value: float = 114 / 255):
         h, w = img.shape[:2]
         r = min(size / h, size / w)
         nh, nw = int(round(h * r)), int(round(w * r))
-        resized = np.asarray(
-            jax.image.resize(jnp.asarray(img, jnp.float32), (nh, nw, 3), "bilinear")
-        )
+        from ..data.loader import resize_bilinear
+
+        # Host NumPy resize (same numerics as jax.image.resize "bilinear"):
+        # letterboxing runs in data-loader threads and must not emit
+        # per-image device launches.
+        resized = resize_bilinear(np.asarray(img, np.float32), nh, nw)
         dh, dw = (size - nh) // 2, (size - nw) // 2
         out[i, dh : dh + nh, dw : dw + nw] = resized
         meta[i] = (r, dw, dh)

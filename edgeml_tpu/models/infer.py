@@ -168,51 +168,53 @@ def run_detection(
     rows (cls, x, y, w, h, conf), normalized xywh-center, one file per image
     named after the image stem (.npy or .txt).
     """
+    from ..data.loader import iter_batches, list_images, resize_bilinear
+
     is_yolo = isinstance(net, YoloV5)
-    names, images = load_images(img_dir)
+    names = list_images(img_dir)
     Path(save_dir).mkdir(parents=True, exist_ok=True)
-    for s in range(0, len(images), batch_size):
-        chunk = images[s : s + batch_size]
-        # Pad the tail batch to keep shapes static.
-        pad = batch_size - len(chunk)
-        chunk_p = chunk + [chunk[-1]] * pad
-        hw = np.array([im.shape[:2] for im in chunk_p], np.float32)
+    size = img_size if is_yolo else net.image_size
+
+    def make_batch(items):
+        """Decode thread: letterbox/resize + normalize; pad the tail batch to
+        keep device shapes static."""
+        chunk_names = [n for n, _ in items]
+        imgs = [im for _, im in items]
+        pad = batch_size - len(imgs)
+        imgs_p = imgs + [imgs[-1]] * pad
+        hw = np.array([im.shape[:2] for im in imgs_p], np.float32)
         if is_yolo:
-            lb, meta = letterbox_batch(chunk_p, img_size)
+            lb, meta = letterbox_batch(imgs_p, size)
+            return chunk_names, lb, meta, hw
+        rs = np.stack([resize_bilinear(im, size, size) for im in imgs_p])
+        # torchvision's GeneralizedRCNNTransform normalization. Deliberate
+        # divergence: a fixed square resize instead of the RCNN models'
+        # aspect-preserving min/max-size resize (static shapes on TPU).
+        mean = np.array([0.485, 0.456, 0.406], np.float32)
+        std = np.array([0.229, 0.224, 0.225], np.float32)
+        return chunk_names, (rs - mean) / std, None, hw
+
+    for chunk_names, arr, meta, hw in iter_batches(
+        img_dir, names, batch_size, make_batch
+    ):
+        if is_yolo:
             dets, valid = _detect_batch(
                 net,
                 params,
                 stats,
-                jnp.asarray(lb),
+                jnp.asarray(arr),
                 jnp.asarray(meta),
                 jnp.asarray(hw),
                 conf_thres,
                 iou_thres,
             )
         else:
-            size = net.image_size
-            rs = np.stack(
-                [
-                    np.asarray(
-                        jax.image.resize(
-                            jnp.asarray(im, jnp.float32), (size, size, 3), "bilinear"
-                        )
-                    )
-                    for im in chunk_p
-                ]
-            )
-            # torchvision's GeneralizedRCNNTransform normalization. Deliberate
-            # divergence: a fixed square resize instead of the RCNN models'
-            # aspect-preserving min/max-size resize (static shapes on TPU).
-            mean = np.array([0.485, 0.456, 0.406], np.float32)
-            std = np.array([0.229, 0.224, 0.225], np.float32)
-            rs = (rs - mean) / std
             dets, valid = _detect_generic(
-                net, params, stats, jnp.asarray(rs), conf_thres, iou_thres
+                net, params, stats, jnp.asarray(arr), conf_thres, iou_thres
             )
         dets = np.asarray(dets)
         valid = np.asarray(valid)
-        for bi, name in enumerate(names[s : s + batch_size]):
+        for bi, name in enumerate(chunk_names):
             rows = dets[bi][valid[bi]]
             if class_map is not None:
                 cls = np.array([class_map.get(int(c), -1) for c in rows[:, 0]])

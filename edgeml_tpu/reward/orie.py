@@ -98,6 +98,8 @@ def orie_rewards(
         num_ensemble = 0
         print("Ensemble size is negative. Set to 0.")
 
+    if batch is not None and batch < 1:
+        raise ValueError(f"batch must be >= 1, got {batch}")
     if batch is None:
         # Size batches so per-batch live intermediates fit HBM comfortably:
         # the per-class AP pass materializes ~8 (C, K, T) f32 arrays per image
@@ -154,13 +156,31 @@ def compute_rewards(
     num_ensemble: int = 1000,
     seed: int = 0,
     verbose: bool = False,
+    mesh="auto",
+    batch: int | None = None,
 ):
     """Full reward computation with the wall-time measurement the reference
-    persists in the output npz (reward.py:76-92). Returns (reward, seconds)."""
+    persists in the output npz (reward.py:76-92). Returns (reward, seconds).
+
+    mesh: "auto" shards the image axis over all visible devices when more
+    than one is present (SURVEY.md section 5.7's scaling axis); None forces
+    single-device; or pass an explicit jax.sharding.Mesh.
+    batch: images per kernel launch; None sizes it from HBM (cap 512). Use a
+    smaller value (e.g. 256) when the one-time XLA compile must stay cheap.
+    """
     start = time.perf_counter()
     if method == "orie":
+        if mesh == "auto":
+            import jax
+
+            mesh = None
+            if len(jax.devices()) > 1:
+                from ..parallel.mesh import make_mesh
+
+                mesh = make_mesh(("dp",))
         reward = orie_rewards(
-            weak_data, strong_data, labels, num_ensemble, seed, verbose=verbose
+            weak_data, strong_data, labels, num_ensemble, seed,
+            verbose=verbose, mesh=mesh, batch=batch,
         )
     else:
         reward = dcsb_rewards(weak_data, strong_data).astype(int)

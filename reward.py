@@ -6,8 +6,11 @@ CLI-compatible rebuild of /root/reference/reward.py (same positional args,
 the accelerator instead of a CPU thread pool; see edgeml_tpu/reward/orie.py.
 
 Extra flags beyond the reference: --seed (the reference's ensemble sampling is
-unseeded and nondeterministic; ours is deterministic given the seed) and
---verbose (per-image reward printing, which the reference always does).
+unseeded and nondeterministic; ours is deterministic given the seed),
+--verbose (per-image reward printing, which the reference always does),
+--map-range, and --batch (kernel launch width / compile-latency knob). With
+more than one visible device the image axis is sharded over an auto-built
+data-parallel mesh (SURVEY.md section 5.7).
 """
 
 import argparse
@@ -33,6 +36,7 @@ def main(opts):
         num_ensemble=opts.num_ensemble,
         seed=opts.seed,
         verbose=opts.verbose,
+        batch=getattr(opts, "batch", None),
     )
     print(
         f"Program takes {execution_time:.1f} seconds "
@@ -62,6 +66,10 @@ def getargs():
     args.add_argument('--map-range', action='store_true',
                       help="Score with mAP@0.5:0.95 instead of mAP@0.5 (the reference's "
                            "commented alternative, lib/data.py:62).")
+    args.add_argument('--batch', type=int, default=None,
+                      help="Images per kernel launch (default: sized from device memory, "
+                           "cap 512). Lower to 256 when one-time compile latency matters "
+                           "more than throughput.")
     return args.parse_args()
 
 

@@ -58,3 +58,47 @@ def test_smoothed_value():
     assert v.global_avg == pytest.approx(2.5)
     v.synchronize_between_processes()  # single-process no-op
     assert v.count == 4
+
+
+def test_reward_cli_uses_auto_mesh(tmp_path, monkeypatch):
+    """Root reward.py on the 8-device CPU platform: the auto-built mesh path
+    must produce the same orie{E}.npz as an explicitly single-device run
+    (VERDICT round-1 item 7: multi-chip ORIE reachable from the CLI)."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    import types
+
+    import reward as reward_cli
+    from edgeml_tpu.reward import compute_rewards
+    from edgeml_tpu.data import set_data
+
+    rng = np.random.default_rng(7)
+    for name in ("weak", "strong", "labels"):
+        (tmp_path / name).mkdir()
+    for i in range(10):
+        stem = f"im{i:02d}"
+        rows = []
+        for _ in range(rng.integers(1, 4)):
+            c = rng.integers(0, 3)
+            x, y = rng.uniform(0.3, 0.7, 2)
+            w, h = rng.uniform(0.1, 0.3, 2)
+            rows.append(f"{c} {x:.4f} {y:.4f} {w:.4f} {h:.4f}")
+        (tmp_path / "labels" / f"{stem}.txt").write_text("\n".join(rows) + "\n")
+        for d in ("weak", "strong"):
+            (tmp_path / d / f"{stem}.txt").write_text(
+                "\n".join(r + f" {rng.uniform(0.2, 0.9):.4f}" for r in rows) + "\n"
+            )
+
+    ns = types.SimpleNamespace(
+        weak_dir=str(tmp_path / "weak"), strong_dir=str(tmp_path / "strong"),
+        label_dir=str(tmp_path / "labels"), save_dir=str(tmp_path / "out"),
+        method="orie", num_ensemble=5, seed=3, verbose=False, batch=8,
+    )
+    reward_cli.main(ns)  # 8 visible devices -> auto mesh engages
+    via_cli = np.load(tmp_path / "out" / "orie5.npz")["reward"]
+
+    weak, strong, labels = set_data(ns.weak_dir, ns.strong_dir, ns.label_dir)
+    single, _ = compute_rewards(
+        weak, strong, labels, num_ensemble=5, seed=3, mesh=None, batch=8
+    )
+    assert np.allclose(via_cli, single, atol=1e-5)

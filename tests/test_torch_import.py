@@ -7,6 +7,8 @@ finite forward pass. (True torchvision key order is unverifiable in this
 image — docs/DIVERGENCES.md item 9.)
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -197,3 +199,53 @@ def test_leftover_tensors_raise():
     imp.vec("a", jnp.zeros((4,)))
     with pytest.raises(ValueError, match="unconsumed"):
         imp.done()
+
+
+# ---- real-checkpoint manifest validation -----------------------------------
+# tools/dump_torch_manifest.py (run where torchvision/ultralytics exist)
+# writes (key, shape) manifests of the REAL checkpoints; these tests feed a
+# zero state_dict with exactly that layout through each importer and require
+# full, shape-exact consumption. They skip when no manifest is vendored
+# (neither package exists in this image — docs/DIVERGENCES.md item 9).
+
+MANIFEST_DIR = os.path.join(os.path.dirname(__file__), "fixtures", "manifests")
+
+
+def _manifest_sd(family):
+    path = os.path.join(MANIFEST_DIR, f"{family}.json")
+    if not os.path.exists(path):
+        pytest.skip(
+            f"no real-checkpoint manifest vendored for {family} "
+            f"(generate with tools/dump_torch_manifest.py)"
+        )
+    import json
+
+    with open(path) as f:
+        manifest = json.load(f)
+    return {k: np.zeros(shape, np.float32) for k, shape in manifest}
+
+
+@pytest.mark.parametrize("family", ["ssd", "retinanet", "faster_rcnn", "yolov5n"])
+def test_import_consumes_real_manifest(family):
+    sd = _manifest_sd(family)
+    if family == "yolov5n":
+        from edgeml_tpu.models.yolov5 import YoloV5
+
+        net = YoloV5(variant="n", num_classes=80, img_size=640)
+        params, stats = net.params_from_torch_state_dict(sd)
+        assert params["detect"][0]["w"].shape[-1] == 255
+    elif family == "ssd":
+        from edgeml_tpu.models.ssdlite import SSDLite, ssdlite_params_from_torch_state_dict
+
+        net = SSDLite(num_classes=91)
+        ssdlite_params_from_torch_state_dict(net, sd)
+    elif family == "retinanet":
+        from edgeml_tpu.models.retinanet import RetinaNet, retinanet_params_from_torch_state_dict
+
+        net = RetinaNet(num_classes=91)
+        retinanet_params_from_torch_state_dict(net, sd)
+    else:
+        from edgeml_tpu.models.faster_rcnn import FasterRCNN, faster_rcnn_params_from_torch_state_dict
+
+        net = FasterRCNN(num_classes=91)
+        faster_rcnn_params_from_torch_state_dict(net, sd)

@@ -33,8 +33,8 @@ def main(opts):
         TrainConfig, load_checkpoint, lr_at, pad_targets, save_checkpoint,
     )
     from edgeml_tpu.models.common import letterbox_batch
-    from edgeml_tpu.models.infer import load_images
     from edgeml_tpu.data import load_data, list_image_names
+    from edgeml_tpu.data.loader import iter_batches, list_images, resize_bilinear
     from edgeml_tpu.parallel import make_mesh, shard_along, replicate, MetricLogger
 
     cfg = TrainConfig(
@@ -58,73 +58,56 @@ def main(opts):
         params, stats, opt_state, payload = load_checkpoint(opts.resume)
         opts.start_epoch = payload["epoch"] + 1
 
-    # Data: pre-process all images once (host), labels from YOLO txt files.
+    # Data: labels load up front (small — a few floats per object); images
+    # stream from disk per batch with background-thread prefetch, so a
+    # VOC-scale run (16k images, ~80 GB decoded at 640^2 f32) never has to
+    # fit in host RAM. Peak RSS is (prefetch + 1) decoded batches.
     names = list_image_names(opts.label_dir)
-    img_names, images = load_images(opts.img_dir)
-    stems = [".".join(n.split(".")[:-1]) or n for n in img_names]
-    order = [stems.index(n) for n in names]
-    images = [images[i] for i in order]
+    img_files = list_images(opts.img_dir)
+    by_stem = {".".join(f.split(".")[:-1]) or f: f for f in img_files}
+    missing = [n for n in names if n not in by_stem]
+    assert not missing, f"labels without images: {missing[:5]}..."
+    files = [by_stem[n] for n in names]
     raw_labels = load_data(opts.label_dir, names, with_conf=False)
 
-    if is_yolo:
-        lb, meta = letterbox_batch(images, size)
-        # Labels are normalized to the ORIGINAL image; remap into letterbox
-        # space.
-        label_rows = []
-        for img, (r, dw, dh), lab in zip(images, meta, raw_labels):
-            if len(lab) == 0:
-                label_rows.append(np.zeros((0, 5), np.float32))
-                continue
-            cls, xyxy = lab
+    def rows_for(i, img, meta_i=None):
+        lab = raw_labels[i]
+        if len(lab) == 0:
+            return np.zeros((0, 5), np.float32)
+        cls, xyxy = lab
+        if meta_i is None:  # plain square resize keeps normalized coords
+            x1, y1, x2, y2 = xyxy.T
+        else:  # remap into letterbox space
+            r, dw, dh = meta_i
             h, w = img.shape[:2]
             x1 = (xyxy[:, 0] * w * r + dw) / size
             y1 = (xyxy[:, 1] * h * r + dh) / size
             x2 = (xyxy[:, 2] * w * r + dw) / size
             y2 = (xyxy[:, 3] * h * r + dh) / size
-            label_rows.append(
-                np.stack(
-                    [cls, (x1 + x2) / 2, (y1 + y2) / 2, x2 - x1, y2 - y1], 1
-                ).astype(np.float32)
-            )
-    else:
-        # Plain square resize: normalized labels are unchanged.
-        mean = np.array([0.485, 0.456, 0.406], np.float32)
-        std = np.array([0.229, 0.224, 0.225], np.float32)
-        lb = np.stack(
-            [
-                (
-                    np.asarray(
-                        jax.image.resize(
-                            jnp.asarray(im, jnp.float32), (size, size, 3),
-                            "bilinear",
-                        )
-                    )
-                    - mean
-                )
-                / std
-                for im in images
-            ]
-        )
-        label_rows = []
-        for lab in raw_labels:
-            if len(lab) == 0:
-                label_rows.append(np.zeros((0, 5), np.float32))
-            else:
-                cls, xyxy = lab
-                label_rows.append(
-                    np.stack(
-                        [
-                            cls,
-                            (xyxy[:, 0] + xyxy[:, 2]) / 2,
-                            (xyxy[:, 1] + xyxy[:, 3]) / 2,
-                            xyxy[:, 2] - xyxy[:, 0],
-                            xyxy[:, 3] - xyxy[:, 1],
-                        ],
-                        1,
-                    ).astype(np.float32)
-                )
+        return np.stack(
+            [cls, (x1 + x2) / 2, (y1 + y2) / 2, x2 - x1, y2 - y1], 1
+        ).astype(np.float32)
 
-    n = len(images)
+    file_index = {f: i for i, f in enumerate(files)}
+    mean = np.array([0.485, 0.456, 0.406], np.float32)
+    std = np.array([0.229, 0.224, 0.225], np.float32)
+
+    def make_batch(items):
+        """Decode thread: preprocess images + remap labels + pad targets."""
+        idx = [file_index[f] for f, _ in items]
+        imgs = [im for _, im in items]
+        if is_yolo:
+            lb, meta = letterbox_batch(imgs, size)
+            rows = [rows_for(i, im, m) for i, im, m in zip(idx, imgs, meta)]
+        else:
+            lb = np.stack(
+                [(resize_bilinear(im, size, size) - mean) / std for im in imgs]
+            )
+            rows = [rows_for(i, im) for i, im in zip(idx, imgs)]
+        targets, valid = pad_targets(rows, opts.max_targets)
+        return lb, targets, valid
+
+    n = len(files)
     bs = opts.batch_size
     # Shard the batch only when it divides evenly over the devices.
     mesh = (
@@ -145,10 +128,11 @@ def main(opts):
         logger = MetricLogger()
         perm = rng.permutation(n)
         it = 0
-        for s in range(0, n - bs + 1, bs):
-            idx = perm[s : s + bs]
-            imgs = jnp.asarray(lb[idx])
-            targets, valid = pad_targets([label_rows[i] for i in idx], opts.max_targets)
+        for lb_np, targets, valid in iter_batches(
+            opts.img_dir, files, bs, make_batch,
+            order=perm, prefetch=getattr(opts, "prefetch", 2), drop_last=True,
+        ):
+            imgs = jnp.asarray(lb_np)
             targets, valid = jnp.asarray(targets), jnp.asarray(valid)
             if mesh is not None:
                 imgs = shard_along(imgs, mesh)
@@ -212,6 +196,8 @@ def getargs():
     args.add_argument("--img-size", default=640, type=int, help="train image size")
     args.add_argument("--max-targets", default=64, type=int, help="padded targets per image")
     args.add_argument("--print-freq", default=100, type=int, help="log every N iterations")
+    args.add_argument("--prefetch", default=2, type=int,
+                      help="batches decoded ahead of the device (host RAM bound: prefetch+1 batches)")
     args.add_argument("--seed", default=0, type=int, help="init/shuffle seed")
     return args.parse_args()
 
