@@ -86,30 +86,75 @@ def voc_label(data_dir: str, save_dir: str, splits=VOC_SPLITS) -> None:
         with open(ids_file) as f:
             img_ids = f.read().strip().split()
         for img_id in img_ids:
-            tree = ET.parse(
+            rows = parse_voc_xml(
                 os.path.join(devkit, f"VOC{year}/Annotations/{img_id}.xml")
             )
-            root = tree.getroot()
-            size = root.find("size")
-            w = int(size.find("width").text)
-            h = int(size.find("height").text)
-            lines = []
-            for obj in root.iter("object"):
-                cls = obj.find("name").text
-                difficult = int(obj.find("difficult").text)
-                if cls not in VOC_CLASS_NAMES or difficult == 1:
-                    continue
-                bb = obj.find("bndbox")
-                xmin, xmax, ymin, ymax = (
-                    float(bb.find(k).text) for k in ("xmin", "xmax", "ymin", "ymax")
-                )
-                row = (
-                    VOC_CLASS_NAMES.index(cls),
-                    ((xmin + xmax) / 2.0 - 1) / w,
-                    ((ymin + ymax) / 2.0 - 1) / h,
-                    (xmax - xmin) / w,
-                    (ymax - ymin) / h,
-                )
-                lines.append(" ".join(str(a) for a in row))
+            lines = [" ".join(str(a) for a in row) for row in rows]
             with open(os.path.join(lbs_path, f"{img_id}.txt"), "w") as out:
                 out.write("\n".join(lines) + ("\n" if lines else ""))
+
+
+def parse_voc_xml(xml_path: str) -> list:
+    """One VOC annotation XML -> YOLO-normalized rows
+    (cls, x, y, w, h), difficult objects and non-VOC classes skipped,
+    with the reference's center convention ((xmin+xmax)/2 - 1, label.py:58-62)."""
+    root = ET.parse(xml_path).getroot()
+    size = root.find("size")
+    w = int(size.find("width").text)
+    h = int(size.find("height").text)
+    rows = []
+    for obj in root.iter("object"):
+        cls = obj.find("name").text
+        difficult = int(obj.find("difficult").text)
+        if cls not in VOC_CLASS_NAMES or difficult == 1:
+            continue
+        bb = obj.find("bndbox")
+        xmin, xmax, ymin, ymax = (
+            float(bb.find(k).text) for k in ("xmin", "xmax", "ymin", "ymax")
+        )
+        rows.append(
+            (
+                VOC_CLASS_NAMES.index(cls),
+                ((xmin + xmax) / 2.0 - 1) / w,
+                ((ymin + ymax) / 2.0 - 1) / h,
+                (xmax - xmin) / w,
+                (ymax - ymin) / h,
+            )
+        )
+    return rows
+
+
+def voc_examples(voc_root: str, splits=VOC_SPLITS):
+    """(image_paths, labels) straight from a VOCdevkit tree — the reference
+    trainer's raw VOCDetection consumption (torch_models/train.py:70-76)
+    without the label-conversion stage. labels are (cls (n,), xyxy (n, 4))
+    pairs in normalized coordinates (the load_data convention)."""
+    import numpy as np
+
+    devkit = (
+        voc_root
+        if os.path.basename(os.path.normpath(voc_root)) == "VOCdevkit"
+        else os.path.join(voc_root, "VOCdevkit")
+    )
+    paths, labels = [], []
+    for year, image_set in splits:
+        ids_file = os.path.join(devkit, f"VOC{year}/ImageSets/Main/{image_set}.txt")
+        with open(ids_file) as f:
+            img_ids = f.read().strip().split()
+        for img_id in img_ids:
+            rows = np.asarray(
+                parse_voc_xml(
+                    os.path.join(devkit, f"VOC{year}/Annotations/{img_id}.xml")
+                ),
+                np.float32,
+            ).reshape(-1, 5)
+            cls = rows[:, 0]
+            x, y, bw, bh = rows[:, 1], rows[:, 2], rows[:, 3], rows[:, 4]
+            xyxy = np.stack(
+                [x - bw / 2, y - bh / 2, x + bw / 2, y + bh / 2], axis=1
+            )
+            paths.append(
+                os.path.join(devkit, f"VOC{year}/JPEGImages/{img_id}.jpg")
+            )
+            labels.append((cls, xyxy))
+    return paths, labels

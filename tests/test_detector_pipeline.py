@@ -148,3 +148,56 @@ def test_train_cli_ssd_family(dataset):
         seed=0,
     )
     train_cli.main(ns)
+
+
+def test_train_cli_direct_voc(tmp_path):
+    """--voc-root: train straight from raw VOC XML annotations (reference
+    torch_models/train.py:70-76 consumes VOCDetection directly)."""
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    for year in ("2007", "2012"):
+        base = tmp_path / "VOCdevkit" / f"VOC{year}"
+        (base / "ImageSets" / "Main").mkdir(parents=True)
+        (base / "JPEGImages").mkdir()
+        (base / "Annotations").mkdir()
+        ids = []
+        for i in range(4):
+            img_id = f"{year}_{i:04d}"
+            ids.append(img_id)
+            w, h = int(rng.integers(50, 90)), int(rng.integers(50, 90))
+            arr = (rng.random((h, w, 3)) * 255).astype(np.uint8)
+            Image.fromarray(arr).save(base / "JPEGImages" / f"{img_id}.jpg")
+            objs = ""
+            for _ in range(int(rng.integers(1, 3))):
+                xmin, ymin = rng.integers(1, w // 2), rng.integers(1, h // 2)
+                xmax, ymax = xmin + rng.integers(5, w // 2), ymin + rng.integers(5, h // 2)
+                objs += (
+                    "<object><name>dog</name><difficult>0</difficult>"
+                    f"<bndbox><xmin>{xmin}</xmin><ymin>{ymin}</ymin>"
+                    f"<xmax>{xmax}</xmax><ymax>{ymax}</ymax></bndbox></object>"
+                )
+            # one difficult object that must be skipped
+            objs += (
+                "<object><name>cat</name><difficult>1</difficult>"
+                "<bndbox><xmin>1</xmin><ymin>1</ymin><xmax>9</xmax>"
+                "<ymax>9</ymax></bndbox></object>"
+            )
+            (base / "Annotations" / f"{img_id}.xml").write_text(
+                f"<annotation><size><width>{w}</width><height>{h}</height>"
+                f"</size>{objs}</annotation>"
+            )
+        (base / "ImageSets" / "Main" / "trainval.txt").write_text("\n".join(ids))
+
+    import train as train_cli
+
+    ns = types.SimpleNamespace(
+        img_dir="", save_dir=str(tmp_path / "ckpt"), label_dir="",
+        voc_root=str(tmp_path), model="yolov5n", dataset="voc",
+        batch_size=4, epochs=1, opt="sgd", lr=0.01, momentum=0.9,
+        weight_decay=1e-4, lr_scheduler="multisteplr", lr_steps=[16, 22],
+        lr_gamma=0.1, resume="", start_epoch=0, img_size=64, max_targets=8,
+        print_freq=1, seed=0,
+    )
+    train_cli.main(ns)
+    assert (tmp_path / "ckpt" / "checkpoint.pth").exists()

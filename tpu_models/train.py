@@ -62,13 +62,27 @@ def main(opts):
     # stream from disk per batch with background-thread prefetch, so a
     # VOC-scale run (16k images, ~80 GB decoded at 640^2 f32) never has to
     # fit in host RAM. Peak RSS is (prefetch + 1) decoded batches.
-    names = list_image_names(opts.label_dir)
-    img_files = list_images(opts.img_dir)
-    by_stem = {".".join(f.split(".")[:-1]) or f: f for f in img_files}
-    missing = [n for n in names if n not in by_stem]
-    assert not missing, f"labels without images: {missing[:5]}..."
-    files = [by_stem[n] for n in names]
-    raw_labels = load_data(opts.label_dir, names, with_conf=False)
+    voc_root = getattr(opts, "voc_root", "")
+    if voc_root:
+        # Raw VOCdevkit consumption, matching the reference trainer's direct
+        # VOCDetection datasets (torch_models/train.py:70-76) — no label
+        # conversion stage. 07+12 trainval, the reference's training split.
+        from edgeml_tpu.dataprep.labels import voc_examples
+
+        files, raw_labels = voc_examples(
+            voc_root, splits=(("2007", "trainval"), ("2012", "trainval"))
+        )
+        img_dir = ""  # files are absolute paths
+    else:
+        assert opts.label_dir, "--label-dir is required without --voc-root"
+        img_dir = opts.img_dir
+        names = list_image_names(opts.label_dir)
+        img_files = list_images(opts.img_dir)
+        by_stem = {".".join(f.split(".")[:-1]) or f: f for f in img_files}
+        missing = [n for n in names if n not in by_stem]
+        assert not missing, f"labels without images: {missing[:5]}..."
+        files = [by_stem[n] for n in names]
+        raw_labels = load_data(opts.label_dir, names, with_conf=False)
 
     def rows_for(i, img, meta_i=None):
         lab = raw_labels[i]
@@ -129,7 +143,7 @@ def main(opts):
         perm = rng.permutation(n)
         it = 0
         for lb_np, targets, valid in iter_batches(
-            opts.img_dir, files, bs, make_batch,
+            img_dir, files, bs, make_batch,
             order=perm, prefetch=getattr(opts, "prefetch", 2), drop_last=True,
         ):
             imgs = jnp.asarray(lb_np)
@@ -173,8 +187,13 @@ def getargs():
     args = argparse.ArgumentParser()
     args.add_argument('img_dir', help="Directory of training images.")
     args.add_argument('save_dir', help="Directory to save the trained model weights.")
-    args.add_argument('--label-dir', required=True,
-                      help="Directory of YOLO-format label .txt files (from data_processing/label.py).")
+    args.add_argument('--label-dir', default="",
+                      help="Directory of YOLO-format label .txt files (from data_processing/label.py). "
+                           "Not needed with --voc-root.")
+    args.add_argument('--voc-root', default="",
+                      help="Path to a VOCdevkit tree (or its parent): train directly from raw "
+                           "VOC XML annotations (07+12 trainval), no label conversion stage. "
+                           "Overrides img_dir/--label-dir.")
     args.add_argument('--model', type=str, default="ssd",
                       help="The object detector. Available choices include 'ssd', 'faster_rcnn', "
                            "'retinanet', and 'yolov5n'..'yolov5x'.")
