@@ -201,3 +201,20 @@ def test_train_cli_direct_voc(tmp_path):
     )
     train_cli.main(ns)
     assert (tmp_path / "ckpt" / "checkpoint.pth").exists()
+
+
+def test_train_cli_with_augmentation(dataset):
+    """--augment ssd: the full host augmentation pipeline feeds the streaming
+    loader; loss must stay finite and checkpoints written."""
+    tmp, img_dir, lab_dir = dataset
+    import train as train_cli
+
+    ns = types.SimpleNamespace(
+        img_dir=img_dir, save_dir=str(tmp / "ckpt_aug"), label_dir=lab_dir,
+        model="yolov5n", dataset="voc", batch_size=4, epochs=1, opt="sgd",
+        lr=0.01, momentum=0.9, weight_decay=1e-4, lr_scheduler="multisteplr",
+        lr_steps=[16, 22], lr_gamma=0.1, resume="", start_epoch=0,
+        img_size=64, max_targets=8, print_freq=1, seed=0, augment="ssd",
+    )
+    train_cli.main(ns)
+    assert (tmp / "ckpt_aug" / "checkpoint.pth").exists()

@@ -24,6 +24,29 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 
 
+def _build_augment(name: str):
+    """Train-time augmentation pipeline (host-side, edgeml_tpu/data/transforms).
+    'none' matches the reference trainer (no augmentation applied,
+    torch_models/train.py); 'flip' and 'ssd' mirror the torchvision presets."""
+    if name in ("", "none"):
+        return None
+    from edgeml_tpu.data.transforms import (
+        Compose, RandomHorizontalFlip, RandomIoUCrop,
+        RandomPhotometricDistort, RandomZoomOut,
+    )
+
+    if name == "flip":
+        return Compose([RandomHorizontalFlip(0.5)])
+    if name == "ssd":
+        return Compose([
+            RandomPhotometricDistort(),
+            RandomZoomOut(),
+            RandomIoUCrop(),
+            RandomHorizontalFlip(0.5),
+        ])
+    raise ValueError(f"unknown --augment '{name}' (none | flip | ssd)")
+
+
 def main(opts):
     import jax
     import jax.numpy as jnp
@@ -84,11 +107,10 @@ def main(opts):
         files = [by_stem[n] for n in names]
         raw_labels = load_data(opts.label_dir, names, with_conf=False)
 
-    def rows_for(i, img, meta_i=None):
-        lab = raw_labels[i]
-        if len(lab) == 0:
-            return np.zeros((0, 5), np.float32)
+    def rows_for(lab, img, meta_i=None):
         cls, xyxy = lab
+        if len(cls) == 0:
+            return np.zeros((0, 5), np.float32)
         if meta_i is None:  # plain square resize keeps normalized coords
             x1, y1, x2, y2 = xyxy.T
         else:  # remap into letterbox space
@@ -102,22 +124,50 @@ def main(opts):
             [cls, (x1 + x2) / 2, (y1 + y2) / 2, x2 - x1, y2 - y1], 1
         ).astype(np.float32)
 
+    augment = _build_augment(getattr(opts, "augment", "none"))
+    epoch_state = {"epoch": 0}  # read by loader threads between epochs
     file_index = {f: i for i, f in enumerate(files)}
     mean = np.array([0.485, 0.456, 0.406], np.float32)
     std = np.array([0.229, 0.224, 0.225], np.float32)
 
+    def example(i, im):
+        """(image, (cls, xyxy normalized)) for sample i, augmented if asked.
+        Augmentation runs on raw pixels, seeded per (seed, epoch, image) so
+        results are deterministic regardless of loader-thread scheduling."""
+        lab = raw_labels[i]
+        cls, xyxy = lab if len(lab) else (np.zeros(0, np.float32),
+                                          np.zeros((0, 4), np.float32))
+        if augment is None:
+            return im, (cls, xyxy)
+        h, w = im.shape[:2]
+        arng = np.random.default_rng(
+            [opts.seed, epoch_state["epoch"], i]
+        )
+        im2, tgt = augment(
+            im,
+            {"boxes": xyxy * np.array([w, h, w, h], np.float32),
+             "labels": cls},
+            arng,
+        )
+        h2, w2 = im2.shape[:2]
+        return im2, (
+            tgt["labels"],
+            tgt["boxes"] / np.array([w2, h2, w2, h2], np.float32),
+        )
+
     def make_batch(items):
-        """Decode thread: preprocess images + remap labels + pad targets."""
-        idx = [file_index[f] for f, _ in items]
-        imgs = [im for _, im in items]
+        """Decode thread: augment + preprocess images + remap labels + pad."""
+        pairs = [example(file_index[f], im) for f, im in items]
+        imgs = [im for im, _ in pairs]
+        labs = [lab for _, lab in pairs]
         if is_yolo:
             lb, meta = letterbox_batch(imgs, size)
-            rows = [rows_for(i, im, m) for i, im, m in zip(idx, imgs, meta)]
+            rows = [rows_for(la, im, m) for la, im, m in zip(labs, imgs, meta)]
         else:
             lb = np.stack(
                 [(resize_bilinear(im, size, size) - mean) / std for im in imgs]
             )
-            rows = [rows_for(i, im) for i, im in zip(idx, imgs)]
+            rows = [rows_for(la, im) for la, im in zip(labs, imgs)]
         targets, valid = pad_targets(rows, opts.max_targets)
         return lb, targets, valid
 
@@ -139,6 +189,7 @@ def main(opts):
     key = jax.random.PRNGKey(opts.seed)
     print("Start training")
     for epoch in range(opts.start_epoch, opts.epochs):
+        epoch_state["epoch"] = epoch
         logger = MetricLogger()
         perm = rng.permutation(n)
         it = 0
@@ -217,6 +268,9 @@ def getargs():
     args.add_argument("--print-freq", default=100, type=int, help="log every N iterations")
     args.add_argument("--prefetch", default=2, type=int,
                       help="batches decoded ahead of the device (host RAM bound: prefetch+1 batches)")
+    args.add_argument("--augment", default="none", choices=["none", "flip", "ssd"],
+                      help="train-time augmentation: none (reference parity), flip, or the "
+                           "ssd preset (photometric + zoom-out + IoU crop + flip)")
     args.add_argument("--seed", default=0, type=int, help="init/shuffle seed")
     return args.parse_args()
 
