@@ -246,17 +246,22 @@ def dump_features(
     the reference's patched feature_visualization (yolov5_scripts.md:24-42):
     {img}/stage{S}_{Name}_features.npy with (C, H, W) layout."""
     from ..data.io import V5_STAGE_NAMES
+    from ..data.loader import iter_batches, list_images
 
-    names, images = load_images(img_dir)
+    names = list_images(img_dir)
 
     @partial(jax.jit, static_argnames=())
     def fwd(im):
         _, _, taps = net.apply(params, stats, im[None], train=False, taps=tuple(stages))
         return {k: v[0] for k, v in taps.items()}
 
-    for name, img in zip(names, images):
+    def make_batch(items):
+        (name, img), = items
         lb, _ = letterbox_batch([img], img_size)
-        taps = fwd(jnp.asarray(lb[0]))
+        return name, lb[0]
+
+    for name, lb0 in iter_batches(img_dir, names, 1, make_batch):
+        taps = fwd(jnp.asarray(lb0))
         stem = ".".join(name.split(".")[:-1]) or name
         out = Path(save_dir) / stem
         out.mkdir(parents=True, exist_ok=True)

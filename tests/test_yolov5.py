@@ -228,3 +228,30 @@ def test_predict_split_matches_packed_decode():
         np.testing.assert_allclose(
             np.asarray(want_d), np.asarray(got_d), atol=5e-4
         )
+
+
+def test_dump_features_file_contract(tmp_path):
+    """Feature-map dump: per-image directory of stage{S}_{Name}_features.npy
+    in (C, H, W) layout (the reference's patched feature_visualization
+    contract, yolov5_scripts.md:24-42), streamed from disk."""
+    from edgeml_tpu.models.infer import dump_features
+    from edgeml_tpu.data.io import V5_STAGE_NAMES
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        np.save(img_dir / f"im{i}.npy", rng.random((40, 56, 3)).astype(np.float32))
+
+    net = YoloV5(variant="n", num_classes=8, img_size=64)
+    params, stats = net.init(jax.random.PRNGKey(0))
+    dump_features(net, params, stats, str(img_dir), str(tmp_path / "feat"),
+                  img_size=64)
+    for i in range(3):
+        d = tmp_path / "feat" / f"im{i}"
+        files = sorted(p.name for p in d.iterdir())
+        assert files == sorted(
+            f"stage{s}_{V5_STAGE_NAMES[s]}_features.npy" for s in (9, 17, 20, 23)
+        )
+        arr = np.load(d / files[0])
+        assert arr.ndim == 3 and arr.shape[0] > arr.shape[1]  # (C, H, W)
