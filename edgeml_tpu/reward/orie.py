@@ -119,6 +119,10 @@ def orie_rewards(
 
     key = jax.random.PRNGKey(seed)
     out = np.zeros((n,), np.float32)
+    # Dispatch every batch before syncing any: per-launch dispatch latency
+    # (tens of ms through the remote runtime) overlaps with device compute
+    # instead of serializing on a host round trip per batch.
+    pending = []
     for s in range(0, n, batch):
         e = min(s + batch, n)
         # Pad the tail batch so shapes (and shard counts) stay static; padded
@@ -128,7 +132,9 @@ def orie_rewards(
             idx = shard_along(jnp.asarray(idx), mesh, mesh.axis_names[0])
         else:
             idx = jnp.asarray(idx)
-        out[s:e] = np.asarray(_orie_batch(pool, idx, key, num_ensemble))[: e - s]
+        pending.append((s, e, _orie_batch(pool, idx, key, num_ensemble)))
+    for s, e, dev in pending:
+        out[s:e] = np.asarray(dev)[: e - s]
         if verbose:
             for i in range(s, e):
                 print(f"ORIE for image {i}: {out[i]:.2f}.")
