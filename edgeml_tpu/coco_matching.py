@@ -58,6 +58,7 @@ def match_image(
     gt_crowd: np.ndarray,  # (G,) bool
     iouv: np.ndarray,  # (T,) thresholds
     area_rng: tuple,
+    ious: np.ndarray | None = None,  # optional precomputed (D, G) IoU
 ) -> tuple:
     """One (image, category) matching pass.
 
@@ -74,7 +75,8 @@ def match_image(
     dtm = np.zeros((t, d), dtype=np.int64) - 1
     dt_ig_flag = np.zeros((t, d), bool)
     if d and g:
-        ious = iou_xyxy(dt_boxes, gt_boxes, gt_crowd)
+        if ious is None:
+            ious = iou_xyxy(dt_boxes, gt_boxes, gt_crowd)
         for ti, thr in enumerate(iouv):
             gtm = np.zeros(g, dtype=np.int64) - 1
             for di in range(d):
@@ -149,11 +151,17 @@ def evaluate_coco(
             per_img.append(
                 (d_box[sel][order], d_sc[sel][order], g_box[gsel], g_cr[gsel])
             )
+        # IoU matrices do not depend on the area range — compute once per
+        # (image, category) and reuse across all four ranges (as COCOeval does)
+        ious_per_img = [
+            iou_xyxy(db, gb, gc) if len(db) and len(gb) else None
+            for db, _, gb, gc in per_img
+        ]
         for ai, aname in enumerate(area_names):
             rng = AREA_RNG[aname]
             matched = [
-                match_image(db, gb, gc, iouv, rng)
-                for db, ds, gb, gc in per_img
+                match_image(db, gb, gc, iouv, rng, ious=iou)
+                for (db, ds, gb, gc), iou in zip(per_img, ious_per_img)
             ]
             for mi, md in enumerate(max_dets):
                 scores = np.concatenate([ds[:md] for _, ds, _, _ in per_img])

@@ -20,14 +20,15 @@ from functools import lru_cache
 
 import numpy as np
 
-IMG_EXTS = (".jpg", ".jpeg", ".png", ".bmp", ".npy")
-
-
 def list_images(img_dir: str):
-    """Sorted image file names (the sorted-name universe every pipeline stage
-    keys on, lib/data.py:54-56)."""
+    """Sorted image file names — every regular file in the directory (the
+    sorted-name universe every pipeline stage keys on, lib/data.py:54-56).
+    No extension filter: like the reference's loaders, any file PIL can't
+    decode raises loudly rather than being silently skipped (a skipped image
+    would leave a hole in the per-image file contract downstream)."""
     return sorted(
-        n for n in os.listdir(img_dir) if n.lower().endswith(IMG_EXTS)
+        n for n in os.listdir(img_dir)
+        if os.path.isfile(os.path.join(img_dir, n))
     )
 
 

@@ -84,24 +84,6 @@ def _detect_batch(
     return jax.vmap(one)(obj, xywh, cls, meta, orig_hw)
 
 
-def load_images(img_dir: str):
-    """Read an image directory (sorted) into HWC float arrays in [0, 1]."""
-    names = sorted(os.listdir(img_dir))
-    images = []
-    for n in names:
-        path = os.path.join(img_dir, n)
-        if n.lower().endswith((".npy",)):
-            arr = np.load(path).astype(np.float32)
-            if arr.max() > 1.5:
-                arr = arr / 255.0
-        else:
-            from PIL import Image
-
-            arr = np.asarray(Image.open(path).convert("RGB"), np.float32) / 255.0
-        images.append(arr)
-    return names, images
-
-
 def _detect_generic(net, params, stats, images, conf_thres, iou_thres):
     """Anchor-family dispatch (SSDLite / RetinaNet / Faster R-CNN): forward +
     family postprocess, boxes returned as normalized (cls, xywh, conf) rows.

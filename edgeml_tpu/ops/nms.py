@@ -127,6 +127,10 @@ def topk1d(x: jax.Array, k: int, chunk: int = 10240):
     merge array, so ties still resolve to the lowest original index.
     """
     n = x.shape[0]
+    if 2 * k > chunk:
+        # the per-chunk keep ratio must stay below 1/2 or the recursion
+        # cannot shrink (k >= chunk would loop forever)
+        chunk = 2 * k
     if n <= max(chunk, 2 * k):
         return jax.lax.top_k(x, k)
     chunks = -(-n // chunk)
@@ -178,31 +182,32 @@ def nms_split(
     """
     n, nc = cls.shape
     if multi_label and nc > 1:
-        # The top max_cand (box, class) pairs by obj*cls all live inside the
-        # top max_cand boxes by obj (cls <= 1), so ranking pairs inside the
-        # gathered (kb, nc) block is exact.
+        # EXACT two-stage pair selection: pre-filter boxes by their BEST pair
+        # confidence max_c(obj*cls_c). Every box contributing a pair above
+        # the k-th pair confidence t contributes (at least) its own best pair
+        # above t, and those are distinct per box — so at most k boxes rank
+        # above t, and the top max_cand boxes by best-pair confidence contain
+        # every top-max_cand pair. (Pre-filtering by obj alone — the previous
+        # scheme — is NOT exact: many high-obj/low-cls boxes can crowd out a
+        # lower-obj box holding the single best pair.)
         kb = min(max_cand, n)
-        obj_top, box_pre = topk1d(jnp.where(obj > conf_thres, obj, -1.0), kb)
-        # Row gather as a one-hot f32 matmul: exactly one nonzero per output
-        # row, so values are exact, and the MXU beats the dynamic-gather
-        # lowering by ~2x at this size on TPU.
-        onehot = (
-            box_pre[:, None] == jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
-        ).astype(jnp.float32)
-        rows = jnp.dot(
-            onehot,
-            jnp.concatenate([xywh, cls], axis=1),
-            preferred_element_type=jnp.float32,
-        )  # (kb, 4 + nc)
-        xywh_pre, cls_rows = rows[:, :4], rows[:, 4:]
-        cls_conf = cls_rows * obj_top[:, None]
+        best = jnp.max(cls, axis=1) * obj  # (N,) fused elementwise
+        box_score = jnp.where(
+            (obj > conf_thres) & (best > conf_thres), best, -1.0
+        )
+        best_top, box_pre = topk1d(box_score, kb)
+        xywh_pre, obj_pre, cls_rows = _gather_rows(
+            box_pre, xywh, obj, cls
+        )
+        cls_conf = cls_rows * obj_pre[:, None]
         flat = jnp.where(
-            (obj_top[:, None] > 0) & (cls_conf > conf_thres), cls_conf, -1.0
+            (best_top[:, None] > 0) & (cls_conf > conf_thres), cls_conf, -1.0
         ).reshape(-1)
         k = min(max_cand, flat.shape[0])
         top_scores, top_idx = topk1d(flat, k)
         bsel = top_idx // nc
         cls_idx = (top_idx % nc).astype(jnp.float32)
+        bxywh = xywh_pre[bsel]
     else:
         best_conf = jnp.max(cls, axis=1) * obj  # (N,) fused elementwise
         best_cls = jnp.argmax(cls, axis=1)
@@ -211,15 +216,24 @@ def nms_split(
         )
         k = min(max_cand, n)
         top_scores, box_pre = topk1d(scores, k)
-        bsel = jnp.arange(k)
         cls_idx = best_cls[box_pre].astype(jnp.float32)
-        xywh_pre = xywh[box_pre]
-    bxywh = xywh_pre[bsel]
+        bxywh = xywh[box_pre]
     half = bxywh[:, 2:4] * 0.5
     cand_boxes = jnp.concatenate(
         [bxywh[:, :2] - half, bxywh[:, :2] + half], axis=1
     )
     return _emit(cand_boxes, top_scores, cls_idx, iou_thres, max_det)
+
+
+def _gather_rows(box_pre, xywh, obj, cls):
+    """Gather (xywh, obj, cls) rows for the selected boxes as separate
+    NARROW dynamic gathers. Exactness note: a one-hot f32 matmul looks like
+    an exact gather but is NOT on TPU — matmul operands round to bfloat16 at
+    default precision (box coordinates near 640 lose whole pixels), and only
+    Precision.HIGHEST is bit-exact, at which point it no longer beats the
+    dynamic-gather lowering (measured: narrow gathers 57.4 ms vs HIGHEST
+    one-hot 58.7 ms per 128-image batch)."""
+    return xywh[box_pre], obj[box_pre], cls[box_pre]
 
 
 @partial(
@@ -260,19 +274,20 @@ def non_max_suppression(
     if multi_label and nc > 1:
         # Two-stage candidate selection: a (box, class)-pair top_k over the
         # full N*nc score matrix is the dominant cost at YOLO sizes
-        # (25200 x 80 = 2M entries). The final confidence obj*cls is bounded
-        # by obj, so the top max_cand PAIRS all live inside the top max_cand
-        # BOXES by objectness: pre-select those (top_k over N), then rank
-        # pairs inside the reduced (max_cand, nc) matrix. Exact, ~25x less
-        # sort traffic.
+        # (25200 x 80 = 2M entries). Pre-filter boxes by their BEST pair
+        # confidence (exact — see nms_split), then rank pairs inside the
+        # reduced (max_cand, nc) matrix.
         kb = min(max_cand, n)
-        obj_top, box_pre = jax.lax.top_k(jnp.where(gate, obj, -1.0), kb)
-        cls_conf = pred[box_pre, 5:] * obj_top[:, None]  # (kb, nc)
+        cls_all = pred[:, 5:] * obj[:, None]  # (N, nc)
+        best = jnp.max(cls_all, axis=1)
+        box_score = jnp.where(gate & (best > conf_thres), best, -1.0)
+        best_top, box_pre = topk1d(box_score, kb)
+        cls_conf = cls_all[box_pre]  # (kb, nc)
         scores_flat = jnp.where(
-            (obj_top[:, None] > 0) & (cls_conf > conf_thres), cls_conf, -1.0
+            (best_top[:, None] > 0) & (cls_conf > conf_thres), cls_conf, -1.0
         ).reshape(-1)
         k = min(max_cand, scores_flat.shape[0])
-        top_scores, top_idx = jax.lax.top_k(scores_flat, k)
+        top_scores, top_idx = topk1d(scores_flat, k)
         box_idx = box_pre[top_idx // nc]
         cls_idx = (top_idx % nc).astype(jnp.float32)
     else:

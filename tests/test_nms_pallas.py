@@ -126,3 +126,41 @@ def test_topk1d_matches_lax_topk(seed):
     gv, gi = topk1d(xv, k, chunk=4096)
     assert np.array_equal(np.asarray(wv), np.asarray(gv))
     assert np.array_equal(np.asarray(wi), np.asarray(gi))
+
+
+def test_nms_split_keeps_best_pair_from_low_obj_box():
+    """Adversarial pre-filter case: 2000 boxes with high objectness but tiny
+    class scores, plus ONE box whose pair confidence dominates everything.
+    Exact pair selection must surface that detection even though its box is
+    far outside the top-max_cand by objectness."""
+    from edgeml_tpu.ops.nms import nms_split
+
+    n, nc = 2049, 4
+    rng = np.random.default_rng(0)
+    obj = np.full(n, 0.9, np.float32)
+    cls = np.full((n, nc), 0.002, np.float32)
+    xy = rng.uniform(100, 5000, (n, 2)).astype(np.float32)
+    xywh = np.concatenate([xy, np.full((n, 2), 8.0, np.float32)], 1)
+    # the needle: low obj, huge cls -> the single best pair (conf 0.45)
+    obj[1234] = 0.5
+    cls[1234, 2] = 0.9
+    dets, valid = nms_split(
+        jnp.asarray(obj), jnp.asarray(xywh), jnp.asarray(cls),
+        conf_thres=0.001, iou_thres=0.5, max_det=300, max_cand=1024,
+    )
+    dets = np.asarray(dets)
+    assert np.asarray(valid)[0]
+    assert dets[0, 4] == np.float32(0.5 * 0.9)  # top detection IS the needle
+    assert dets[0, 5] == 2.0
+
+
+def test_topk1d_k_at_least_chunk():
+    """k >= chunk must not recurse forever (keep ratio forced below 1/2)."""
+    from edgeml_tpu.ops.nms import topk1d
+
+    x = jnp.asarray(np.random.default_rng(0).random(30720).astype(np.float32))
+    for k in (4096, 10240):
+        wv, wi = jax.lax.top_k(x, k)
+        gv, gi = topk1d(x, k, chunk=4096)
+        assert np.array_equal(np.asarray(wv), np.asarray(gv))
+        assert np.array_equal(np.asarray(wi), np.asarray(gi))
