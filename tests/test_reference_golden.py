@@ -103,7 +103,12 @@ def _make_dataset(tmp_path, n_img=12, n_cls=4, seed=5):
                     )
             with open(dirs[det_name] / f"{stem}.txt", "w") as f:
                 for r in det_rows:
-                    f.write(" ".join(f"{v:.6f}" for v in r) + "\n")
+                    # class as int, like yolov5 --save-txt (the reference's
+                    # extract_output_feature parses it with int())
+                    f.write(
+                        f"{int(r[0])} "
+                        + " ".join(f"{v:.6f}" for v in r[1:]) + "\n"
+                    )
     return dirs
 
 
@@ -185,3 +190,121 @@ def test_eval_cli_matches_reference(golden):
     ours = np.load(our_out / "test_map.npy")
     assert ref.shape == ours.shape == (2, 11)
     np.testing.assert_allclose(ours, ref, atol=1e-5, rtol=0)
+
+
+@pytest.fixture(scope="module")
+def estimator_fixtures(golden):
+    """Shared features/rewards/split produced by BOTH extract CLIs."""
+    tmp, stub, dirs = golden
+    n_img = len(os.listdir(dirs["labels"]))
+    # features: run reference and our extract_feature on the same weak dets
+    ref_feat = tmp / "ref_feat"
+    our_feat = tmp / "our_feat"
+    _run(
+        ["data_processing/extract_feature.py", str(dirs["weak"]), str(ref_feat),
+         str(dirs["labels"]), "--k", "5", "--dataset", "coco"],
+        cwd=REF, extra_path=f"{stub}{os.pathsep}{REF}",
+    )
+    _run(
+        ["data_processing/extract_feature.py", str(dirs["weak"]), str(our_feat),
+         str(dirs["labels"]), "--k", "5", "--dataset", "coco"],
+        cwd=REPO,
+    )
+    # rewards + split
+    rng = np.random.default_rng(3)
+    rew_path = tmp / "rewards.npz"
+    np.savez(rew_path, reward=rng.normal(0.1, 1.0, n_img), time=0.0)
+    order = rng.permutation(n_img)
+    split = np.zeros((3, n_img), bool)
+    for k in range(3):
+        split[k, order[k::3]] = True
+    split_path = tmp / "est_split.npy"
+    np.save(split_path, split)
+    return tmp, stub, dirs, ref_feat, our_feat, rew_path, split_path
+
+
+def test_extract_feature_cli_matches_reference(estimator_fixtures):
+    tmp, stub, dirs, ref_feat, our_feat, *_ = estimator_fixtures
+    stems = sorted(os.listdir(ref_feat))
+    assert stems == sorted(os.listdir(our_feat))
+    for stem in stems:
+        a = np.load(ref_feat / stem / "stage24_output_features.npy")
+        b = np.load(our_feat / stem / "stage24_output_features.npy")
+        np.testing.assert_allclose(b, a, atol=1e-6)
+
+
+def test_regression_lr_cli_matches_reference(estimator_fixtures):
+    """LR is closed-form: the reference (sklearn lstsq, f64) and ours (JAX)
+    must produce near-identical estimate{k}.npz from the same on-disk
+    features/rewards/split."""
+    tmp, stub, dirs, ref_feat, our_feat, rew_path, split_path = estimator_fixtures
+    ref_out = tmp / "ref_lr"
+    our_out = tmp / "our_lr"
+    common = [str(rew_path), str(split_path)]
+    _run(
+        ["regression.py", str(ref_feat)] + common + [str(ref_out),
+         "--model", "LR", "--model-dir", str(tmp / "ref_lr_wts")],
+        cwd=REF, extra_path=stub,
+    )
+    _run(
+        ["regression.py", str(our_feat)] + common + [str(our_out),
+         "--model", "LR", "--model-dir", str(tmp / "our_lr_wts")],
+        cwd=REPO,
+    )
+    for k in (1, 2, 3):
+        ref = np.load(ref_out / f"estimate{k}.npz")
+        ours = np.load(our_out / f"estimate{k}.npz")
+        np.testing.assert_allclose(
+            ours["train_est"], ref["train_est"], atol=2e-3, rtol=0
+        )
+        np.testing.assert_allclose(
+            ours["val_est"], ref["val_est"], atol=2e-3, rtol=0
+        )
+
+
+def test_baseline_dcsb_cli_matches_reference(estimator_fixtures):
+    """DCSB is a deterministic calibration + integer grid search — binary
+    offloading predictions must match the reference exactly.
+
+    The detection files must hold MORE total detections than labels: the
+    reference's threshold calibration (baseline.py:96-107) binary-searches
+    until the detection count at the threshold EQUALS the label count and
+    loops forever otherwise — real conf-0.001 dumps always satisfy this."""
+    tmp, stub, dirs, ref_feat, our_feat, rew_path, split_path = estimator_fixtures
+    rng = np.random.default_rng(21)
+    dense = tmp / "weak_dense"
+    dense.mkdir()
+    for f in sorted(os.listdir(dirs["weak"])):
+        rows = open(dirs["weak"] / f).read()
+        extra = []
+        for _ in range(8):  # low-conf false positives pad the count curve
+            extra.append(
+                f"{rng.integers(0, 4)} "
+                + " ".join(
+                    f"{v:.6f}"
+                    for v in (*rng.uniform(0.2, 0.8, 2),
+                              *rng.uniform(0.05, 0.3, 2),
+                              rng.uniform(0.01, 0.6))
+                )
+            )
+        (dense / f).write_text(rows + "\n".join(extra) + "\n")
+    ref_out = tmp / "ref_dcsb"
+    our_out = tmp / "our_dcsb"
+    common = [str(rew_path), str(split_path)]
+    _run(
+        ["baseline.py", str(dense)] + common + [str(ref_out),
+         "--baseline", "dcsb", "--label_dir", str(dirs["labels"]),
+         "--model_dir", str(tmp / "ref_dcsb_wts")],
+        cwd=REF, extra_path=stub,
+    )
+    _run(
+        ["baseline.py", str(dense)] + common + [str(our_out),
+         "--baseline", "dcsb", "--label_dir", str(dirs["labels"]),
+         "--model_dir", str(tmp / "our_dcsb_wts")],
+        cwd=REPO,
+    )
+    for k in (1, 2, 3):
+        ref = np.load(ref_out / f"estimate{k}.npz")
+        ours = np.load(our_out / f"estimate{k}.npz")
+        assert np.array_equal(ours["train_est"], ref["train_est"])
+        assert np.array_equal(ours["val_est"], ref["val_est"])
