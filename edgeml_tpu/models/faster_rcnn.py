@@ -2,10 +2,11 @@
 
 The reference's strongest detector option (fasterrcnn_resnet50_fpn_v2,
 /root/reference/torch_models/train.py:17, detect.py:29-33). Torchvision-v2
-structure: ResNet50-FPN (LastLevelMaxPool), a 2-conv RPN head with 3 anchors
-per cell (sizes 32..512 across P2'..P6, ratios 0.5/1/2), multi-scale RoIAlign
-(7x7, sampling ratio 2, canonical-level mapping), a 4-conv + 1024-fc box head
-with per-class regression, (10,10,5,5)/(1,1,1,1) box coders.
+structure: ResNet50-FPN over C2..C5 (P2..P5 + LastLevelMaxPool), a 2-conv RPN
+head with 3 anchors per cell (sizes 32..512 across P2..pool, ratios 0.5/1/2),
+multi-scale RoIAlign (7x7, sampling ratio 2, canonical-level mapping over
+P2..P5), a 4-conv + 1024-fc box head with per-class regression,
+(10,10,5,5)/(1,1,1,1) box coders.
 
 TPU redesign of the dynamic parts:
   * proposal selection: per-level top-k + batched NMS at fixed widths
@@ -32,13 +33,15 @@ from ..ops.nms import non_max_suppression, _iou_one_vs_many
 from .common import conv2d, conv_init
 from .resnet import ResNet50FPN
 
-RPN_STRIDES = (8, 16, 32, 64)
-RPN_SIZES = (32, 64, 128, 256)  # + maxpool level handled below
+RPN_STRIDES = (4, 8, 16, 32)  # P2..P5; + maxpool level (stride 64) below
+RPN_SIZES = (32, 64, 128, 256)
 ASPECT_RATIOS = (0.5, 1.0, 2.0)
+ROI_STRIDES = (4, 8, 16, 32)  # RoIAlign featmaps: P2..P5 (pool level excluded)
 
 
 def rpn_anchors(image_size: int):
-    """Per-level (A_l, 4) xyxy anchor arrays for P3..P6+pool (3 per cell)."""
+    """Per-level (A_l, 4) xyxy anchor arrays for P2..P5+pool (3 per cell,
+    torchvision _default_anchorgen: one size per level, 32..512)."""
     out = []
     strides = list(RPN_STRIDES) + [RPN_STRIDES[-1] * 2]
     sizes = list(RPN_SIZES) + [512]
@@ -101,13 +104,15 @@ def roi_align_fpn(feats, boxes, image_size: int, out: int = 7, sampling: int = 2
 
     Canonical level mapping k = floor(4 + log2(sqrt(area)/224)) clamped to the
     FPN range; every box is aligned on every level and masked (fixed shapes).
-    feats: list of (H_l, W_l, C) maps for strides 8/16/32/64.
+    feats: list of (H_l, W_l, C) maps for strides 4/8/16/32 (P2..P5) —
+    torchvision's MultiScaleRoIAlign featmap set and LevelMapper (k_min=2,
+    k_max=5).
     """
     areas = jnp.maximum(
         (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1]), 1e-6
     )
     k = jnp.floor(4.0 + jnp.log2(jnp.sqrt(areas) / 224.0 + 1e-9))
-    k = jnp.clip(k, 2.0, 5.0) - 2.0  # 0..3 over strides 8..64
+    k = jnp.clip(k, 2.0, 5.0) - 2.0  # 0..3 over strides 4..32
 
     def align_level(fm, stride):
         def one(box):
@@ -144,7 +149,7 @@ def roi_align_fpn(feats, boxes, image_size: int, out: int = 7, sampling: int = 2
         return jax.vmap(one)(boxes)
 
     per_level = [
-        align_level(fm, s) for fm, s in zip(feats, (8, 16, 32, 64))
+        align_level(fm, s) for fm, s in zip(feats, ROI_STRIDES)
     ]  # each (N, out, out, C)
     stacked = jnp.stack(per_level)  # (4, N, out, out, C)
     sel = jax.nn.one_hot(k.astype(jnp.int32), 4, axis=0)  # (4, N)
@@ -160,7 +165,7 @@ class FasterRCNN:
 
     @property
     def backbone(self):
-        return ResNet50FPN(extra="maxpool")
+        return ResNet50FPN(extra="maxpool", first_stage=0)
 
     def init(self, key):
         p = {}
@@ -329,9 +334,11 @@ class FasterRCNN:
 
 
 def faster_rcnn_params_from_torch_state_dict(net: FasterRCNN, sd):
-    """Order-based torchvision fasterrcnn_resnet50_fpn_v2 import. The v2 box
-    head trains its convs under BatchNorm2d; those BN statistics are FOLDED
-    into this model's bias-carrying convs (exact at inference)."""
+    """Order-based torchvision fasterrcnn_resnet50_fpn_v2 import. The v2 FPN
+    and box head train their convs under BatchNorm2d; those BN statistics are
+    FOLDED into this model's bias-carrying convs (exact at inference). The
+    box-head fc input is re-permuted from torch's (C, H, W)-major flatten to
+    this model's NHWC (H, W, C)-major flatten."""
     import jax
     import numpy as np
 
@@ -340,7 +347,9 @@ def faster_rcnn_params_from_torch_state_dict(net: FasterRCNN, sd):
 
     params = dict(net.init(jax.random.PRNGKey(0)))
     imp = OrderedImporter(sd)
-    params["backbone"] = import_resnet_fpn(imp, params["backbone"], "maxpool")
+    params["backbone"] = import_resnet_fpn(
+        imp, params["backbone"], "maxpool", fpn_norm=True
+    )
 
     rpn = dict(params["rpn"])
     for name in ("conv1", "conv2", "cls", "reg"):
@@ -355,17 +364,16 @@ def faster_rcnn_params_from_torch_state_dict(net: FasterRCNN, sd):
     for ci, cp in enumerate(bh["convs"]):
         cp = dict(cp)
         w = imp.conv(f"box_head.conv{ci}", cp["w"])  # no bias (BN follows)
-        g = imp.vec(f"box_head.conv{ci}.bn.weight", cp["b"])
-        b = imp.vec(f"box_head.conv{ci}.bn.bias", cp["b"])
-        m = imp.vec(f"box_head.conv{ci}.bn.mean", cp["b"])
-        v = imp.vec(f"box_head.conv{ci}.bn.var", cp["b"])
+        g, b, m, v = imp.bn(
+            f"box_head.conv{ci}.bn", cp["b"], cp["b"], cp["b"], cp["b"]
+        )
         scale = g * jax.lax.rsqrt(v + 1e-5)
         cp["w"] = w * scale[None, None, None, :]
         cp["b"] = b - m * scale
         convs.append(cp)
     bh["convs"] = convs
     fc = dict(bh["fc"])
-    fc["w"] = imp.linear("box_head.fc", fc["w"])
+    fc["w"] = imp.linear_chw("box_head.fc", fc["w"], (256, 7, 7))
     fc["b"] = imp.vec("box_head.fc.bias", fc["b"])
     bh["fc"] = fc
     for name in ("cls", "reg"):

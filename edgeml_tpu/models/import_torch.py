@@ -59,6 +59,16 @@ class OrderedImporter:
         i, o = in_out_array.shape
         return jnp.asarray(self._next(path, (o, i)).T)
 
+    def linear_chw(self, path: str, in_out_array, chw: tuple):
+        """Linear whose torch input is a flattened (C, H, W) feature map while
+        this model flattens NHWC maps (H, W, C)-major: permute the input axis
+        accordingly. chw = the torch-side (C, H, W) shape."""
+        c, h, w = chw
+        i, o = in_out_array.shape
+        v = self._next(path, (o, i))
+        v = v.reshape(o, c, h, w).transpose(0, 2, 3, 1).reshape(o, i)
+        return jnp.asarray(v.T)
+
     def bn(self, path: str, g, b, m, v):
         return (
             self.vec(path + ".weight", g),

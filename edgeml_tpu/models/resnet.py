@@ -33,6 +33,10 @@ def _frozen_bn(x, p):
 class ResNet50FPN:
     out_channels: int = 256
     extra: str = "maxpool"  # "maxpool" (Faster R-CNN) or "p6p7" (RetinaNet)
+    # First stage fed to the FPN: 0 = C2 (torchvision returned_layers
+    # [1,2,3,4], the Faster R-CNN default), 1 = C3 (returned_layers [2,3,4],
+    # the RetinaNet default).
+    first_stage: int = 1
 
     # ---- init ----------------------------------------------------------------
 
@@ -73,9 +77,9 @@ class ResNet50FPN:
             stages.append(blocks)
             cin = cout
         p["stages"] = stages
-        # FPN lateral (1x1) + output (3x3) convs over C3, C4, C5.
+        # FPN lateral (1x1) + output (3x3) convs over the returned stages.
         lat, out = [], []
-        for c in STAGE_CHANNELS[1:]:
+        for c in STAGE_CHANNELS[self.first_stage:]:
             key, k1, k2 = jax.random.split(key, 3)
             lat.append(
                 {"w": conv_init(k1, 1, c, self.out_channels),
@@ -116,7 +120,8 @@ class ResNet50FPN:
 
     def apply(self, params, x):
         """x: (B, S, S, 3) normalized images. Returns the FPN level list
-        [P3, P4, P5, P6(, P7)] of (B, h, w, 256) maps."""
+        (bottom level P{first_stage+2} .. P5, plus the extra level(s)) of
+        (B, h, w, 256) maps."""
         y = conv2d(x, params["stem"]["w"], 2, padding=((3, 3), (3, 3)))
         y = jax.nn.relu(_frozen_bn(y, params["stem"]))
         y = jax.lax.reduce_window(
@@ -129,16 +134,20 @@ class ResNet50FPN:
             for bi, bp in enumerate(blocks):
                 y = self._run_block(y, bp, stride if bi == 0 else 1)
             cs.append(y)
-        c3, c4, c5 = cs[1], cs[2], cs[3]
+        cs = cs[self.first_stage:]
 
         lat = params["fpn_lateral"]
         out = params["fpn_output"]
-        p5 = conv2d(c5, lat[2]["w"], 1) + lat[2]["b"]
-        p4 = conv2d(c4, lat[1]["w"], 1) + lat[1]["b"] + upsample2x(p5)
-        p3 = conv2d(c3, lat[0]["w"], 1) + lat[0]["b"] + upsample2x(p4)
+        # Top-down pathway: lateral 1x1, nearest x2 upsample merge.
+        ps = [None] * len(cs)
+        for li in reversed(range(len(cs))):
+            p = conv2d(cs[li], lat[li]["w"], 1) + lat[li]["b"]
+            if li + 1 < len(cs):
+                p = p + upsample2x(ps[li + 1])
+            ps[li] = p
         feats = [
             conv2d(p, o["w"], 1, padding=((1, 1), (1, 1))) + o["b"]
-            for p, o in zip((p3, p4, p5), out)
+            for p, o in zip(ps, out)
         ]
         if self.extra == "maxpool":
             feats.append(
@@ -156,10 +165,19 @@ class ResNet50FPN:
         return feats
 
 
-def import_resnet_fpn(imp, params, extra: str):
+def import_resnet_fpn(imp, params, extra: str, fpn_norm: bool = False):
     """Consume a torchvision BackboneWithFPN prefix in module order: resnet
     body (stem, bottleneck stages with trailing downsample), FPN inner then
-    layer blocks (plain convs with bias), then P6/P7 when present."""
+    layer blocks, then P6/P7 when present.
+
+    fpn_norm=True consumes the v2 Faster R-CNN FPN layout (Conv2dNormActivation
+    with BatchNorm2d: conv without bias + 4 BN tensors,
+    torchvision fasterrcnn_resnet50_fpn_v2's `_resnet_fpn_extractor(...,
+    norm_layer=nn.BatchNorm2d)`) and FOLDS the BN statistics into this model's
+    bias-carrying FPN convs — exact at inference. False matches the plain
+    conv+bias layout (RetinaNet v2's FPN has no norm)."""
+    import jax
+
     from .import_torch import import_frozen_convbn
 
     p = dict(params)
@@ -180,8 +198,17 @@ def import_resnet_fpn(imp, params, extra: str):
         new = []
         for li, cp in enumerate(p[group]):
             cp = dict(cp)
-            cp["w"] = imp.conv(f"{group}.{li}", cp["w"])
-            cp["b"] = imp.vec(f"{group}.{li}.bias", cp["b"])
+            w = imp.conv(f"{group}.{li}", cp["w"])
+            if fpn_norm:
+                g, b, m, v = imp.bn(
+                    f"{group}.{li}.bn", cp["b"], cp["b"], cp["b"], cp["b"]
+                )
+                scale = g * jax.lax.rsqrt(v + 1e-5)
+                cp["w"] = w * scale[None, None, None, :]
+                cp["b"] = b - m * scale
+            else:
+                cp["w"] = w
+                cp["b"] = imp.vec(f"{group}.{li}.bias", cp["b"])
             new.append(cp)
         p[group] = new
     if extra == "p6p7":

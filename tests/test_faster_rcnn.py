@@ -14,8 +14,8 @@ from edgeml_tpu.models.faster_rcnn import (
 def test_rpn_anchor_levels():
     anc = rpn_anchors(256)
     assert len(anc) == 5
-    # 3 anchors per cell
-    assert anc[0].shape == ((256 // 8) ** 2 * 3, 4)
+    # 3 anchors per cell, bottom level = P2 (stride 4)
+    assert anc[0].shape == ((256 // 4) ** 2 * 3, 4)
     w = anc[0][1, 2] - anc[0][1, 0]
     h = anc[0][1, 3] - anc[0][1, 1]
     assert w * h == pytest.approx(32 * 32, rel=1e-3)
@@ -42,9 +42,9 @@ def test_box_coder_roundtrip():
 def test_roi_align_constant_map():
     # constant feature maps -> pooled output equals the constant
     feats = [jnp.full((256 // s, 256 // s, 8), float(i + 1))
-             for i, s in enumerate((8, 16, 32, 64))]
+             for i, s in enumerate((4, 8, 16, 32))]
     boxes = jnp.asarray(
-        [[10, 10, 40, 40],      # small -> level 0 (stride 8)
+        [[10, 10, 40, 40],      # small -> level 0 (stride 4)
          [0, 0, 250, 250]],     # large -> higher level
         jnp.float32,
     )
@@ -56,11 +56,11 @@ def test_roi_align_constant_map():
 
 
 def test_roi_align_bilinear_values():
-    # Linear ramp along x on stride-8 level: pooled values follow the ramp.
-    H = 32
+    # Linear ramp along x on the stride-4 level: pooled values follow the ramp.
+    H = 64
     x = jnp.broadcast_to(jnp.arange(H, dtype=jnp.float32)[None, :, None], (H, H, 1))
-    feats = [x, jnp.zeros((16, 16, 1)), jnp.zeros((8, 8, 1)), jnp.zeros((4, 4, 1))]
-    boxes = jnp.asarray([[80.0, 80.0, 120.0, 120.0]])  # feature coords 10..15
+    feats = [x, jnp.zeros((32, 32, 1)), jnp.zeros((16, 16, 1)), jnp.zeros((8, 8, 1))]
+    boxes = jnp.asarray([[80.0, 80.0, 120.0, 120.0]])  # feature coords 20..30
     pooled = np.asarray(roi_align_fpn(feats, boxes, 256))[0, :, :, 0]
     assert pooled[0, 0] < pooled[0, -1]
     assert pooled[:, 0].std() < 1e-4  # constant along y

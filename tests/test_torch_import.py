@@ -42,6 +42,11 @@ class Recorder(it.OrderedImporter):
         self._rec((o, i))
         return io
 
+    def linear_chw(self, path, io, chw):
+        i, o = io.shape
+        self._rec((o, i))
+        return io
+
     def bn(self, path, g, b, m, v):
         self._rec(g.shape)
         self._rec(b.shape)
@@ -160,7 +165,7 @@ def test_faster_rcnn_import_roundtrip():
         params = net.init(jax.random.PRNGKey(0))
         from edgeml_tpu.models.resnet import import_resnet_fpn
 
-        import_resnet_fpn(rec, params["backbone"], "maxpool")
+        import_resnet_fpn(rec, params["backbone"], "maxpool", fpn_norm=True)
         for name in ("conv1", "conv2", "cls", "reg"):
             rec.conv(name, params["rpn"][name]["w"])
             rec.vec(name, params["rpn"][name]["b"])
