@@ -26,24 +26,35 @@ from .common import bn_apply, conv2d, conv_init
 
 # (kernel, expanded, out, use_se, activation, stride) per inverted residual,
 # input channels are implicit from the previous block.
-V3_LARGE = (
-    (3, 16, 16, False, "RE", 1),
-    (3, 64, 24, False, "RE", 2),
-    (3, 72, 24, False, "RE", 1),
-    (5, 72, 40, True, "RE", 2),
-    (5, 120, 40, True, "RE", 1),
-    (5, 120, 40, True, "RE", 1),
-    (3, 240, 80, False, "HS", 2),
-    (3, 200, 80, False, "HS", 1),
-    (3, 184, 80, False, "HS", 1),
-    (3, 184, 80, False, "HS", 1),
-    (3, 480, 112, True, "HS", 1),
-    (3, 672, 112, True, "HS", 1),
-    (5, 672, 160, True, "HS", 2),  # C4 tap: expansion conv of this block
-    (5, 960, 160, True, "HS", 1),
-    (5, 960, 160, True, "HS", 1),
-)
-C4_BLOCK = 12  # zero-based index into V3_LARGE
+def v3_large_config(reduced_tail: bool = False):
+    """torchvision _mobilenet_v3_conf('mobilenet_v3_large'): reduced_tail
+    halves the channels of the last three blocks (and hence the final conv,
+    6x the last block width). The pretrained ssdlite320 checkpoint uses the
+    reduced tail ('Enable reduced tail if no pretrained backbone is
+    selected' — with DEFAULT detection weights the backbone weights are
+    dropped, so reduce_tail is on)."""
+    r = 2 if reduced_tail else 1
+    return (
+        (3, 16, 16, False, "RE", 1),
+        (3, 64, 24, False, "RE", 2),
+        (3, 72, 24, False, "RE", 1),
+        (5, 72, 40, True, "RE", 2),
+        (5, 120, 40, True, "RE", 1),
+        (5, 120, 40, True, "RE", 1),
+        (3, 240, 80, False, "HS", 2),
+        (3, 200, 80, False, "HS", 1),
+        (3, 184, 80, False, "HS", 1),
+        (3, 184, 80, False, "HS", 1),
+        (3, 480, 112, True, "HS", 1),
+        (3, 672, 112, True, "HS", 1),
+        (5, 672, 160 // r, True, "HS", 2),  # C4 tap: expansion conv here
+        (5, 960 // r, 160 // r, True, "HS", 1),
+        (5, 960 // r, 160 // r, True, "HS", 1),
+    )
+
+
+V3_LARGE = v3_large_config(False)
+C4_BLOCK = 12  # zero-based block index of the C4 tap
 
 
 def hardswish(x):
@@ -62,6 +73,15 @@ def _act(name):
 class MobileNetV3Large:
     bn_eps: float = 1e-3
     bn_momentum: float = 0.01
+    reduced_tail: bool = False
+
+    @property
+    def config(self):
+        return v3_large_config(self.reduced_tail)
+
+    @property
+    def c5_channels(self) -> int:
+        return 6 * self.config[-1][2]  # 960 full tail / 480 reduced
 
     # ---- init ---------------------------------------------------------------
 
@@ -88,7 +108,7 @@ class MobileNetV3Large:
         params["stem"], stats["stem"] = self._convbn(sub, 3, 3, 16)
         cin = 16
         blocks_p, blocks_s = [], []
-        for k, exp, out, use_se, act, stride in V3_LARGE:
+        for k, exp, out, use_se, act, stride in self.config:
             bp, bs = {}, {}
             if exp != cin:
                 key, sub = jax.random.split(key)
@@ -107,7 +127,7 @@ class MobileNetV3Large:
             cin = out
         params["blocks"], stats["blocks"] = blocks_p, blocks_s
         key, sub = jax.random.split(key)
-        params["last"], stats["last"] = self._convbn(sub, 1, cin, 960)
+        params["last"], stats["last"] = self._convbn(sub, 1, cin, self.c5_channels)
         return params, stats
 
     # ---- apply --------------------------------------------------------------
@@ -141,7 +161,7 @@ class MobileNetV3Large:
         )
         c4 = None
         for bi, ((k, exp, out, use_se, act_n, stride), bp, bs) in enumerate(
-            zip(V3_LARGE, params["blocks"], stats["blocks"])
+            zip(self.config, params["blocks"], stats["blocks"])
         ):
             act = _act(act_n)
             ns = {}

@@ -35,8 +35,6 @@ import numpy as np
 from .common import bn_apply, conv2d, conv_init
 from .mobilenetv3 import MobileNetV3Large
 
-EXTRA_CHANNELS = ((960, 512), (512, 256), (256, 256), (256, 128))
-FEATURE_CHANNELS = (672, 960, 512, 256, 256, 128)
 BOX_CODER_WEIGHTS = (10.0, 10.0, 5.0, 5.0)
 
 
@@ -77,10 +75,24 @@ def default_boxes(image_size: int = 320, feature_sizes=(20, 10, 5, 3, 2, 1)):
 class SSDLite:
     num_classes: int = 91  # includes background class 0
     image_size: int = 320
+    # torchvision enables the reduced mobilenet tail when no pretrained
+    # backbone is selected — i.e. the released COCO checkpoint is
+    # reduced-tail (C5 = 480 ch), while a model trained from an ImageNet
+    # backbone (the reference trainer's configuration) is full-tail (960).
+    reduced_tail: bool = False
 
     @property
     def backbone(self):
-        return MobileNetV3Large()
+        return MobileNetV3Large(reduced_tail=self.reduced_tail)
+
+    @property
+    def extra_channels(self):
+        c5 = self.backbone.c5_channels
+        return ((c5, 512), (512, 256), (256, 256), (256, 128))
+
+    @property
+    def feature_channels(self):
+        return (672, self.backbone.c5_channels, 512, 256, 256, 128)
 
     # ---- init ----------------------------------------------------------------
 
@@ -99,7 +111,7 @@ class SSDLite:
         key, sub = jax.random.split(key)
         params["backbone"], stats["backbone"] = self.backbone.init(sub)
         extras_p, extras_s = [], []
-        for cin, cout in EXTRA_CHANNELS:
+        for cin, cout in self.extra_channels:
             mid = cout // 2
             ep, es = {}, {}
             key, k1, k2, k3 = jax.random.split(key, 4)
@@ -112,7 +124,7 @@ class SSDLite:
 
         def head(key, cols):
             hp, hs = [], []
-            for ch in FEATURE_CHANNELS:
+            for ch in self.feature_channels:
                 key, k1, k2 = jax.random.split(key, 3)
                 dw_p, dw_s = self._convbn(k1, 3, ch, ch, groups=ch)
                 proj = {

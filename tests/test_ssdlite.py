@@ -6,7 +6,7 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from edgeml_tpu.models.ssdlite import SSDLite, default_boxes, FEATURE_CHANNELS
+from edgeml_tpu.models.ssdlite import SSDLite, default_boxes
 from edgeml_tpu.models.ssd_loss import match_anchors, ssd_loss, ssd_postprocess
 
 
