@@ -91,9 +91,12 @@ class ResNet50FPN:
             )
         p["fpn_lateral"], p["fpn_output"] = lat, out
         if self.extra == "p6p7":
+            # RetinaNet v2 keeps the paper's LastLevelP6P7(2048, 256): P6 is a
+            # stride-2 conv on C5 itself (in_channels != out_channels disables
+            # torchvision's use_P5 path), P7 on relu(P6).
             key, k1, k2 = jax.random.split(key, 3)
             p["p6"] = {
-                "w": conv_init(k1, 3, self.out_channels, self.out_channels),
+                "w": conv_init(k1, 3, STAGE_CHANNELS[-1], self.out_channels),
                 "b": jnp.zeros((self.out_channels,)),
             }
             p["p7"] = {
@@ -156,8 +159,8 @@ class ResNet50FPN:
                     "VALID",
                 )
             )
-        else:  # p6p7 from P5 (v2 convention)
-            p6 = conv2d(feats[-1], params["p6"]["w"], 2, padding=((1, 1), (1, 1)))
+        else:  # p6p7 from C5 (LastLevelP6P7(2048, 256), v2 convention)
+            p6 = conv2d(cs[-1], params["p6"]["w"], 2, padding=((1, 1), (1, 1)))
             p6 = p6 + params["p6"]["b"]
             p7 = conv2d(jax.nn.relu(p6), params["p7"]["w"], 2, padding=((1, 1), (1, 1)))
             p7 = p7 + params["p7"]["b"]

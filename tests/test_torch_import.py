@@ -242,7 +242,8 @@ def test_import_consumes_real_manifest(family):
     elif family == "ssd":
         from edgeml_tpu.models.ssdlite import SSDLite, ssdlite_params_from_torch_state_dict
 
-        net = SSDLite(num_classes=91)
+        # the pretrained ssdlite320 checkpoint uses the reduced mobilenet tail
+        net = SSDLite(num_classes=91, reduced_tail=True)
         ssdlite_params_from_torch_state_dict(net, sd)
     elif family == "retinanet":
         from edgeml_tpu.models.retinanet import RetinaNet, retinanet_params_from_torch_state_dict
