@@ -166,7 +166,7 @@ def run_yolo():
     import jax
     import jax.numpy as jnp
 
-    from edgeml_tpu.models.infer import _detect_batch
+    from edgeml_tpu.models.infer import _detect_pipe_step, _zero_carry
     from edgeml_tpu.models.yolov5 import YoloV5
 
     b = int(os.environ.get("BENCH_YOLO_BATCH", 128))
@@ -178,24 +178,28 @@ def run_yolo():
 
     out = {}
     for name, dt in (("f32", None), ("bf16", jnp.bfloat16)):
+        # the production serving loop: software-pipelined steps (this
+        # batch's trunk + previous batch's NMS tail in one program)
         @jax.jit
-        def step(acc, seed, dt=dt):
+        def step(carry, seed, dt=dt):
+            prev, acc = carry
             imgs = jax.random.uniform(
                 jax.random.PRNGKey(seed), (b, 640, 640, 3), jnp.float32
             )
-            d, v = _detect_batch(
-                net, params, stats, imgs, meta, hw, 1e-5, 0.6, dtype=dt
+            nxt, d, v = _detect_pipe_step(
+                net, params, stats, prev, imgs, meta, hw, 1e-5, 0.6, dtype=dt
             )
-            return acc + d.sum()
+            return (nxt, acc + d.sum())
 
+        zero = (_zero_carry(net, b, 640), jnp.zeros(()))
         t0 = time.perf_counter()
-        jax.block_until_ready(step(jnp.zeros(()), 0))
+        carry = step(zero, 0)
+        jax.block_until_ready(carry)
         log(f"yolo {name} warmup incl. compile: {time.perf_counter() - t0:.1f}s")
         t0 = time.perf_counter()
-        acc = jnp.zeros(())
         for i in range(iters):
-            acc = step(acc, 1 + i)
-        float(acc)
+            carry = step(carry, 1 + i)
+        jax.block_until_ready(carry)
         ips = b * iters / (time.perf_counter() - t0)
         log(f"yolov5n inference {name} (B={b}): {ips:.0f} img/s")
         out[name] = round(ips, 1)

@@ -22,36 +22,13 @@ import numpy as np
 
 from ..ops.nms import nms_split
 from .common import letterbox_batch
-from .yolov5 import YoloV5
+from .yolov5 import STRIDES, YoloV5
 
 
-@partial(
-    jax.jit,
-    static_argnames=("net", "max_det", "multi_label", "iou_thres", "dtype"),
-)
-def _detect_batch(
-    net: YoloV5,
-    params,
-    stats,
-    images,  # (B, S, S, 3)
-    meta,  # (B, 3) letterbox (ratio, dw, dh)
-    orig_hw,  # (B, 2) original (h, w)
-    conf_thres: float,
-    iou_thres: float,
-    max_det: int = 300,
-    multi_label: bool = True,
-    dtype=None,
-):
-    """Forward + decode + NMS + unmap for one letterboxed batch.
-
-    Uses the split serving path (YoloV5.predict + ops.nms.nms_split): the
-    packed (B, N, 85) decode tensor never exists, so no strided minor-dim
-    slices reach the TPU. dtype optionally runs the trunk in bfloat16.
-
-    Returns (dets (B, max_det, 6) rows [cls, x, y, w, h, conf] normalized to
-    the ORIGINAL image size, valid (B, max_det)).
-    """
-    obj, xywh, cls = net.predict(params, stats, images, dtype=dtype)
+def _nms_unmap(obj, xywh, cls, meta, orig_hw, conf_thres, iou_thres,
+               max_det, multi_label):
+    """Batched NMS + letterbox unmap over split trunk outputs (the serial
+    VPU tail of the serving pipeline)."""
 
     def one(obj_i, xywh_i, cls_i, m, hw):
         dets, valid = nms_split(
@@ -82,6 +59,86 @@ def _detect_batch(
         return out, valid
 
     return jax.vmap(one)(obj, xywh, cls, meta, orig_hw)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("net", "max_det", "multi_label", "iou_thres", "dtype"),
+)
+def _detect_batch(
+    net: YoloV5,
+    params,
+    stats,
+    images,  # (B, S, S, 3)
+    meta,  # (B, 3) letterbox (ratio, dw, dh)
+    orig_hw,  # (B, 2) original (h, w)
+    conf_thres: float,
+    iou_thres: float,
+    max_det: int = 300,
+    multi_label: bool = True,
+    dtype=None,
+):
+    """Forward + decode + NMS + unmap for one letterboxed batch.
+
+    Uses the split serving path (YoloV5.predict + ops.nms.nms_split): the
+    packed (B, N, 85) decode tensor never exists, so no strided minor-dim
+    slices reach the TPU. dtype optionally runs the trunk in bfloat16.
+
+    Returns (dets (B, max_det, 6) rows [cls, x, y, w, h, conf] normalized to
+    the ORIGINAL image size, valid (B, max_det)).
+    """
+    obj, xywh, cls = net.predict(params, stats, images, dtype=dtype)
+    return _nms_unmap(obj, xywh, cls, meta, orig_hw, conf_thres, iou_thres,
+                      max_det, multi_label)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("net", "max_det", "multi_label", "iou_thres", "dtype"),
+)
+def _detect_pipe_step(
+    net: YoloV5,
+    params,
+    stats,
+    prev,  # ((obj, xywh, cls), meta, orig_hw) of the PREVIOUS batch
+    images,  # (B, S, S, 3) THIS batch
+    meta,
+    orig_hw,
+    conf_thres: float,
+    iou_thres: float,
+    max_det: int = 300,
+    multi_label: bool = True,
+    dtype=None,
+):
+    """One software-pipelined serving step: the trunk of THIS batch and the
+    NMS tail of the PREVIOUS batch run in the same XLA program, so the
+    scheduler can interleave the MXU-bound trunk with the serial VPU tail
+    (gathers/top-k run at ~1 element/cycle on TPU; measured ~7% end-to-end
+    win at B=128, tools/exp_pipeline.py).
+
+    Returns (carry for the next step, dets of the previous batch, valid).
+    Feed a zero carry first and one flush step last; results come out
+    shifted by one batch.
+    """
+    (pobj, pxywh, pcls), pmeta, phw = prev
+    new = net.predict(params, stats, images, dtype=dtype)
+    dets, valid = _nms_unmap(pobj, pxywh, pcls, pmeta, phw, conf_thres,
+                             iou_thres, max_det, multi_label)
+    return (new, meta, orig_hw), dets, valid
+
+
+def _zero_carry(net: YoloV5, batch: int, size: int):
+    """A zero previous-batch carry for priming _detect_pipe_step."""
+    n = sum((size // s) ** 2 * net.na for s in STRIDES)
+    return (
+        (
+            jnp.zeros((batch, n), jnp.float32),
+            jnp.zeros((batch, n, 4), jnp.float32),
+            jnp.zeros((batch, n, net.num_classes), jnp.float32),
+        ),
+        jnp.zeros((batch, 3), jnp.float32).at[:, 0].set(1.0),
+        jnp.ones((batch, 2), jnp.float32),
+    )
 
 
 def _detect_generic(net, params, stats, images, conf_thres, iou_thres):
@@ -176,24 +233,7 @@ def run_detection(
         std = np.array([0.229, 0.224, 0.225], np.float32)
         return chunk_names, (rs - mean) / std, None, hw
 
-    for chunk_names, arr, meta, hw in iter_batches(
-        img_dir, names, batch_size, make_batch
-    ):
-        if is_yolo:
-            dets, valid = _detect_batch(
-                net,
-                params,
-                stats,
-                jnp.asarray(arr),
-                jnp.asarray(meta),
-                jnp.asarray(hw),
-                conf_thres,
-                iou_thres,
-            )
-        else:
-            dets, valid = _detect_generic(
-                net, params, stats, jnp.asarray(arr), conf_thres, iou_thres
-            )
+    def save_batch(chunk_names, dets, valid):
         dets = np.asarray(dets)
         valid = np.asarray(valid)
         for bi, name in enumerate(chunk_names):
@@ -213,6 +253,40 @@ def run_detection(
                             f"{int(r[0])} {r[1]:.6f} {r[2]:.6f} {r[3]:.6f} "
                             f"{r[4]:.6f} {r[5]:.6f}\n"
                         )
+
+    if is_yolo:
+        # Software-pipelined serving loop: each step runs this batch's trunk
+        # and the previous batch's NMS tail in one program (_detect_pipe_step);
+        # results stream out shifted by one batch, with a zero-image flush
+        # step at the end. File outputs are identical to the unpipelined path.
+        carry = _zero_carry(net, batch_size, size)
+        pending = None  # chunk whose detections are still on device
+        for chunk_names, arr, meta, hw in iter_batches(
+            img_dir, names, batch_size, make_batch
+        ):
+            carry, dets, valid = _detect_pipe_step(
+                net, params, stats, carry, jnp.asarray(arr),
+                jnp.asarray(meta), jnp.asarray(hw), conf_thres, iou_thres,
+            )
+            if pending is not None:
+                save_batch(pending, dets, valid)
+            pending = chunk_names
+        if pending is not None:
+            zero = _zero_carry(net, batch_size, size)
+            _, dets, valid = _detect_pipe_step(
+                net, params, stats, carry,
+                jnp.zeros((batch_size, size, size, 3), jnp.float32),
+                zero[1], zero[2], conf_thres, iou_thres,
+            )
+            save_batch(pending, dets, valid)
+    else:
+        for chunk_names, arr, _meta, hw in iter_batches(
+            img_dir, names, batch_size, make_batch
+        ):
+            dets, valid = _detect_generic(
+                net, params, stats, jnp.asarray(arr), conf_thres, iou_thres
+            )
+            save_batch(chunk_names, dets, valid)
 
 
 def dump_features(

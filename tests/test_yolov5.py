@@ -255,3 +255,44 @@ def test_dump_features_file_contract(tmp_path):
         )
         arr = np.load(d / files[0])
         assert arr.ndim == 3 and arr.shape[0] > arr.shape[1]  # (C, H, W)
+
+
+def test_pipelined_serving_step_matches_direct():
+    """_detect_pipe_step (trunk of batch i + tail of batch i-1 in one
+    program) must reproduce _detect_batch exactly, shifted by one step."""
+    from edgeml_tpu.models.infer import (
+        _detect_batch, _detect_pipe_step, _zero_carry,
+    )
+
+    net = YoloV5(variant="n", num_classes=8, img_size=64)
+    params, stats = net.init(jax.random.PRNGKey(5))
+    b = 2
+    imgs = [
+        jax.random.uniform(jax.random.PRNGKey(10 + i), (b, 64, 64, 3))
+        for i in range(2)
+    ]
+    meta = jnp.tile(jnp.asarray([[0.5, 2.0, 1.0]]), (b, 1))
+    hw = jnp.tile(jnp.asarray([[120.0, 90.0]]), (b, 1))
+
+    want = [
+        _detect_batch(net, params, stats, im, meta, hw, 1e-4, 0.5)
+        for im in imgs
+    ]
+
+    carry = _zero_carry(net, b, 64)
+    carry, _, _ = _detect_pipe_step(
+        net, params, stats, carry, imgs[0], meta, hw, 1e-4, 0.5
+    )
+    carry, d0, v0 = _detect_pipe_step(
+        net, params, stats, carry, imgs[1], meta, hw, 1e-4, 0.5
+    )
+    zero = _zero_carry(net, b, 64)
+    _, d1, v1 = _detect_pipe_step(
+        net, params, stats, carry, jnp.zeros((b, 64, 64, 3)),
+        zero[1], zero[2], 1e-4, 0.5
+    )
+
+    for (wd, wv), (gd, gv) in zip(want, [(d0, v0), (d1, v1)]):
+        assert np.asarray(wv).sum() > 0
+        assert np.array_equal(np.asarray(wv), np.asarray(gv))
+        np.testing.assert_array_equal(np.asarray(wd), np.asarray(gd))

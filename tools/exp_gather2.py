@@ -1,0 +1,166 @@
+"""TPU experiment round 2: gather formulations + compact/sort primitives."""
+
+import os
+import sys
+import time
+from functools import partial
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+B = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+ITERS = 8
+K = 1024
+N = 25200
+
+
+def timed(name, fn, *args):
+    acc = jnp.zeros(())
+    acc = fn(acc, jnp.float32(0.0), *args)
+    acc.block_until_ready()
+    t0 = time.perf_counter()
+    for i in range(ITERS):
+        acc = fn(acc, jnp.float32(i), *args)
+    acc.block_until_ready()
+    dt = (time.perf_counter() - t0) / ITERS
+    print(f"{name:28s} {dt * 1e3:8.2f} ms/iter")
+    return dt
+
+
+def main():
+    rng = np.random.default_rng(0)
+    cls = jnp.asarray(rng.random((B, N, 80), np.float32))
+    cls_pad = jnp.pad(cls, ((0, 0), (0, 0), (0, 48)))
+    idx = jnp.asarray(rng.integers(0, N, size=(B, K)).astype(np.int32))
+
+    @jax.jit
+    def g_rows(acc, salt, c, i):
+        g = jax.vmap(lambda cc, ii: cc[ii])(c, i)
+        return acc + g.sum() * 1e-9 + salt * 0
+
+    @jax.jit
+    def g_flat(acc, salt, c, i):
+        cf = c.reshape(B, -1)
+        w = c.shape[-1]
+        flat_idx = (i[:, :, None] * w + jnp.arange(w)[None, None, :]).reshape(B, -1)
+        g = jnp.take_along_axis(cf, flat_idx, axis=1)
+        return acc + g.sum() * 1e-9 + salt * 0
+
+    @jax.jit
+    def g_tala(acc, salt, c, i):
+        g = jnp.take_along_axis(c, i[:, :, None], axis=1)  # broadcast minor
+        return acc + g.sum() * 1e-9 + salt * 0
+
+    @jax.jit
+    def g_dus(acc, salt, c, i):
+        # per-candidate dynamic slice via vmap over K (one image at a time
+        # inside vmap over B)
+        def one_img(cc, ii):
+            def one_row(j):
+                return jax.lax.dynamic_slice_in_dim(cc, j, 1, axis=0)[0]
+            return jax.vmap(one_row)(ii)
+        g = jax.vmap(one_img)(c, i)
+        return acc + g.sum() * 1e-9 + salt * 0
+
+    timed("gather rows 80", g_rows, cls, idx)
+    timed("gather rows 128pad", g_rows, cls_pad, idx)
+    timed("gather flat 80", g_flat, cls, idx)
+    timed("gather take_along bcast", g_tala, cls, idx)
+    timed("gather dyn-slice vmap", g_dus, cls, idx)
+
+    # narrow gathers for comparison
+    xywh = jnp.asarray(rng.random((B, N, 4), np.float32))
+    obj = jnp.asarray(rng.random((B, N), np.float32))
+
+    @jax.jit
+    def g_narrow(acc, salt, x, o, i):
+        xg = jax.vmap(lambda a, ii: a[ii])(x, i)
+        og = jax.vmap(lambda a, ii: a[ii])(o, i)
+        return acc + xg.sum() * 1e-9 + og.sum() * 1e-9 + salt * 0
+
+    timed("gather xywh+obj", g_narrow, xywh, obj, idx)
+
+    # ---- compact (cumsum+scatter) and sort costs ----------------------------
+    x = jnp.asarray((rng.random((B, N)) * 0.002).astype(np.float32))
+
+    @jax.jit
+    def compact(acc, salt, x):
+        def one(r):
+            gate = r > 0.001
+            slot = jnp.where(gate, jnp.cumsum(gate) - 1, 2048)
+            slot = jnp.minimum(slot, 2048)
+            vals = jnp.full((2049,), -1.0, r.dtype).at[slot].set(r)[:2048]
+            inds = jnp.zeros((2049,), jnp.int32).at[slot].set(
+                jnp.arange(r.shape[0], dtype=jnp.int32))[:2048]
+            return vals, inds
+        v, i = jax.vmap(one)(x + salt * 1e-12)
+        return acc + v.sum() * 1e-9 + i.sum() * 1e-12
+
+    timed("compact 25200->2048", compact, x)
+
+    pairs = jnp.asarray((rng.random((B, K, 80)) * 0.002).astype(np.float32))
+
+    @jax.jit
+    def compact_pairs(acc, salt, p):
+        def one(r):
+            r = r.reshape(-1)
+            gate = r > 0.001
+            slot = jnp.where(gate, jnp.cumsum(gate) - 1, 2048)
+            slot = jnp.minimum(slot, 2048)
+            vals = jnp.full((2049,), -1.0, r.dtype).at[slot].set(r)[:2048]
+            inds = jnp.zeros((2049,), jnp.int32).at[slot].set(
+                jnp.arange(r.shape[0], dtype=jnp.int32))[:2048]
+            return vals, inds
+        v, i = jax.vmap(one)(p + salt * 1e-12)
+        return acc + v.sum() * 1e-9 + i.sum() * 1e-12
+
+    timed("compact 81920->2048", compact_pairs, pairs)
+
+    vals = jnp.asarray(rng.random((B, 2048), np.float32))
+    inds = jnp.asarray(rng.integers(0, N, (B, 2048)).astype(np.int32))
+
+    @jax.jit
+    def sort2048(acc, salt, v, i):
+        sv, si = jax.lax.sort((-(v + salt * 1e-12), i), num_keys=1)
+        return acc + sv.sum() * 1e-9 + si.sum() * 1e-12
+
+    timed("sort (B,2048) desc", sort2048, vals, inds)
+
+    @jax.jit
+    def topk2048(acc, salt, v):
+        tv, ti = jax.lax.top_k(v + salt * 1e-12, 1024)
+        return acc + tv.sum() * 1e-9 + ti.sum() * 1e-12
+
+    timed("top_k (B,2048)->1024", topk2048, vals)
+
+    # sup matrix fused construction in bf16, no f32 materialization
+    boxes = jnp.asarray(
+        np.concatenate(
+            [rng.uniform(0, 600, (B, K, 2)), rng.uniform(4, 100, (B, K, 2))], -1
+        ).astype(np.float32)
+    )
+
+    @jax.jit
+    def sup_build(acc, salt, b):
+        def one(bx):
+            lo = jnp.maximum(bx[:, None, :2], bx[None, :, :2])
+            hi = jnp.minimum(bx[:, None, 2:4], bx[None, :, 2:4])
+            inter = jnp.prod(jnp.maximum(hi - lo, 0.0), axis=-1)
+            area = jnp.prod(jnp.maximum(bx[:, 2:4] - bx[:, :2], 0.0), axis=-1)
+            iou_gt = inter > 0.6 * jnp.maximum(
+                area[:, None] + area[None, :] - inter, 1e-12
+            )
+            row = jax.lax.broadcasted_iota(jnp.int32, (K, K), 0)
+            col = jax.lax.broadcasted_iota(jnp.int32, (K, K), 1)
+            return (iou_gt & (col < row)).astype(jnp.bfloat16)
+        s = jax.vmap(one)(b + salt * 1e-9)
+        return acc + s.astype(jnp.float32).sum() * 1e-9
+
+    timed("sup build bf16", sup_build, boxes)
+
+
+if __name__ == "__main__":
+    main()
