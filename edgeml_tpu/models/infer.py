@@ -127,14 +127,21 @@ def _detect_pipe_step(
     return (new, meta, orig_hw), dets, valid
 
 
-def _zero_carry(net: YoloV5, batch: int, size: int):
-    """A zero previous-batch carry for priming _detect_pipe_step."""
+def _zero_carry(net: YoloV5, batch: int, size: int, dtype=None):
+    """A zero previous-batch carry for priming _detect_pipe_step.
+
+    dtype must match the serving dtype passed to the step: predict emits
+    obj/cls in that dtype (boxes stay f32), and a mismatched zero carry
+    would recompile the step on its second invocation — mid-loop, if the
+    caller timed only one warmup step.
+    """
     n = sum((size // s) ** 2 * net.na for s in STRIDES)
+    sdt = jnp.float32 if dtype is None else dtype
     return (
         (
-            jnp.zeros((batch, n), jnp.float32),
+            jnp.zeros((batch, n), sdt),
             jnp.zeros((batch, n, 4), jnp.float32),
-            jnp.zeros((batch, n, net.num_classes), jnp.float32),
+            jnp.zeros((batch, n, net.num_classes), sdt),
         ),
         jnp.zeros((batch, 3), jnp.float32).at[:, 0].set(1.0),
         jnp.ones((batch, 2), jnp.float32),

@@ -29,7 +29,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .common import bn_apply, conv2d, conv_init, max_pool_same, silu, upsample2x
+from .common import (
+    bn_apply,
+    conv2d,
+    conv2d_stem_s2d,
+    conv_init,
+    max_pool_same,
+    silu,
+    upsample2x,
+)
 
 BN_EPS = 1e-3
 BN_MOMENTUM = 0.03
@@ -190,7 +198,18 @@ class YoloV5:
         # XLA's SAME padding distributes asymmetrically for stride-2 k=3
         # convolutions ((0,1) instead of torch's (1,1)), which would shift
         # every downsampling layer by one pixel vs imported weights.
-        x = conv2d(x, p["w"], stride, padding=((pad, pad), (pad, pad)))
+        if (
+            p["w"].shape[:3] == (6, 6, 3)
+            and stride == 2
+            and pad == 2
+            and x.shape[1] % 2 == 0
+            and x.shape[2] % 2 == 0
+        ):
+            # the RGB stem: space-to-depth formulation, same tap set,
+            # ~1.7x faster on TPU (see conv2d_stem_s2d)
+            x = conv2d_stem_s2d(x, p["w"])
+        else:
+            x = conv2d(x, p["w"], stride, padding=((pad, pad), (pad, pad)))
         x, new_s = bn_apply(
             x,
             {"scale": p["g"], "bias": p["b"], "mean": s["m"], "var": s["v"]},
@@ -288,16 +307,20 @@ class YoloV5:
         values (output channels of a conv are independent) — so every
         downstream consumer (top_k, gathers, NMS) reads a contiguous array.
 
-        dtype: optional compute dtype for the trunk (e.g. jnp.bfloat16 for
-        ~25% faster serving; head convs and decode stay float32).
+        dtype: optional compute dtype for the serving trunk AND the obj/cls
+        score path (e.g. jnp.bfloat16, ~30% faster). Box geometry is always
+        decoded in float32 (sub-pixel coordinates near 640 need the mantissa;
+        scores in [0, 1] tolerate bf16's 0.4% — the bf16 path is a documented
+        speed/accuracy knob with no exactness contract vs the f32 path). The
+        f32 default is bit-identical to apply + decode.
         """
+        hdtype = jnp.float32 if dtype is None else dtype
         if dtype is not None:
             cast = lambda t: jax.tree_util.tree_map(
                 lambda a: a.astype(dtype)
                 if getattr(a, "dtype", None) == jnp.float32 else a, t)
             params_t = dict(cast(params), detect=params["detect"])
             feats, _, _ = self._trunk(params_t, cast(stats), x.astype(dtype), False)
-            feats = [f.astype(jnp.float32) for f in feats]
         else:
             feats, _, _ = self._trunk(params, stats, x, False)
         na, no, nc = self.na, self.no, self.num_classes
@@ -305,22 +328,22 @@ class YoloV5:
         for f, p, stride, anchors in zip(
             feats, params["detect"], STRIDES, self.anchors
         ):
-            w = p["w"].reshape(1, 1, -1, na, no)
-            bias = p["b"].reshape(na, no)
+            w = p["w"].reshape(1, 1, -1, na, no).astype(hdtype)
+            bias = p["b"].reshape(na, no).astype(hdtype)
             h_obj = conv2d(f, w[..., 4], 1) + bias[:, 4]
             h_xy = conv2d(f, w[..., 0:2].reshape(1, 1, -1, na * 2), 1) \
-                + bias[:, 0:2].reshape(-1)
+                .astype(jnp.float32) + bias[:, 0:2].reshape(-1).astype(jnp.float32)
             h_wh = conv2d(f, w[..., 2:4].reshape(1, 1, -1, na * 2), 1) \
-                + bias[:, 2:4].reshape(-1)
+                .astype(jnp.float32) + bias[:, 2:4].reshape(-1).astype(jnp.float32)
             h_cls = conv2d(f, w[..., 5:].reshape(1, 1, -1, na * nc), 1) \
                 + bias[:, 5:].reshape(-1)
             b, hh, ww, _ = h_obj.shape
-            gx = jnp.arange(ww, dtype=f.dtype)
-            gy = jnp.arange(hh, dtype=f.dtype)
+            gx = jnp.arange(ww, dtype=jnp.float32)
+            gy = jnp.arange(hh, dtype=jnp.float32)
             grid = jnp.stack(jnp.meshgrid(gx, gy), axis=-1)  # (H, W, 2)
             sxy = jax.nn.sigmoid(h_xy).reshape(b, hh, ww, na, 2)
             xy = (sxy * 2.0 - 0.5 + grid[:, :, None, :]) * stride
-            anc = jnp.asarray(anchors, f.dtype)
+            anc = jnp.asarray(anchors, jnp.float32)
             swh = jax.nn.sigmoid(h_wh).reshape(b, hh, ww, na, 2)
             wh = (swh * 2.0) ** 2 * anc[None, None, :, :]
             objs.append(jax.nn.sigmoid(h_obj).reshape(b, -1))

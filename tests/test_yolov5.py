@@ -296,3 +296,18 @@ def test_pipelined_serving_step_matches_direct():
         assert np.asarray(wv).sum() > 0
         assert np.array_equal(np.asarray(wv), np.asarray(gv))
         np.testing.assert_array_equal(np.asarray(wd), np.asarray(gd))
+
+
+def test_stem_s2d_equivalence():
+    """conv2d_stem_s2d computes the same taps as the direct 6x6 s2 p2 conv
+    (different contraction order only)."""
+    from edgeml_tpu.models.common import conv2d, conv2d_stem_s2d
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 64, 96, 3))
+    w = jax.random.normal(jax.random.PRNGKey(1), (6, 6, 3, 16)) * 0.2
+    direct = conv2d(x, w, 2, padding=((2, 2), (2, 2)))
+    s2d = conv2d_stem_s2d(x, w)
+    assert direct.shape == s2d.shape == (2, 32, 48, 16)
+    np.testing.assert_allclose(
+        np.asarray(direct), np.asarray(s2d), atol=1e-4, rtol=1e-4
+    )
