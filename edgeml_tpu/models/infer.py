@@ -207,8 +207,15 @@ def run_detection(
     img_size: int = 640,
     fmt: str = "npy",
     class_map=None,
+    mesh=None,
 ):
     """Detect every image in img_dir; save per-image detection files.
+
+    mesh: optional jax.sharding.Mesh — weights are replicated and the batch
+    axis of every device input is sharded over the mesh's first axis, so the
+    jitted serving step runs data-parallel with XLA-inserted collectives
+    (SURVEY.md section 5.7's scaling recipe applied to serving; batch_size
+    must be a multiple of the mesh size).
 
     Output format parity with the on-disk contract (SURVEY.md section 2.9):
     rows (cls, x, y, w, h, conf), normalized xywh-center, one file per image
@@ -220,6 +227,20 @@ def run_detection(
     names = list_images(img_dir)
     Path(save_dir).mkdir(parents=True, exist_ok=True)
     size = img_size if is_yolo else net.image_size
+
+    if mesh is not None:
+        from ..parallel.mesh import replicate, shard_along
+
+        n_dev = int(np.prod(mesh.devices.shape))
+        if batch_size % n_dev:
+            raise ValueError(
+                f"batch_size {batch_size} not divisible by mesh size {n_dev}"
+            )
+        params = replicate(params, mesh)
+        stats = replicate(stats, mesh)
+        place = lambda a: shard_along(jnp.asarray(a), mesh, mesh.axis_names[0])
+    else:
+        place = jnp.asarray
 
     def make_batch(items):
         """Decode thread: letterbox/resize + normalize; pad the tail batch to
@@ -266,14 +287,14 @@ def run_detection(
         # and the previous batch's NMS tail in one program (_detect_pipe_step);
         # results stream out shifted by one batch, with a zero-image flush
         # step at the end. File outputs are identical to the unpipelined path.
-        carry = _zero_carry(net, batch_size, size)
+        carry = jax.tree_util.tree_map(place, _zero_carry(net, batch_size, size))
         pending = None  # chunk whose detections are still on device
         for chunk_names, arr, meta, hw in iter_batches(
             img_dir, names, batch_size, make_batch
         ):
             carry, dets, valid = _detect_pipe_step(
-                net, params, stats, carry, jnp.asarray(arr),
-                jnp.asarray(meta), jnp.asarray(hw), conf_thres, iou_thres,
+                net, params, stats, carry, place(arr),
+                place(meta), place(hw), conf_thres, iou_thres,
             )
             if pending is not None:
                 save_batch(pending, dets, valid)
@@ -282,8 +303,8 @@ def run_detection(
             zero = _zero_carry(net, batch_size, size)
             _, dets, valid = _detect_pipe_step(
                 net, params, stats, carry,
-                jnp.zeros((batch_size, size, size, 3), jnp.float32),
-                zero[1], zero[2], conf_thres, iou_thres,
+                place(jnp.zeros((batch_size, size, size, 3), jnp.float32)),
+                place(zero[1]), place(zero[2]), conf_thres, iou_thres,
             )
             save_batch(pending, dets, valid)
     else:
@@ -291,7 +312,7 @@ def run_detection(
             img_dir, names, batch_size, make_batch
         ):
             dets, valid = _detect_generic(
-                net, params, stats, jnp.asarray(arr), conf_thres, iou_thres
+                net, params, stats, place(arr), conf_thres, iou_thres
             )
             save_batch(chunk_names, dets, valid)
 

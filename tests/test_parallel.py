@@ -102,3 +102,31 @@ def test_reward_cli_uses_auto_mesh(tmp_path, monkeypatch):
         weak, strong, labels, num_ensemble=5, seed=3, mesh=None, batch=8
     )
     assert np.allclose(via_cli, single, atol=1e-5)
+
+
+def test_sharded_run_detection_matches_single(tmp_path):
+    """run_detection with a mesh (batch sharded over 8 CPU devices,
+    weights replicated) writes the same files as the single-device path."""
+    from edgeml_tpu.models.infer import run_detection
+    from edgeml_tpu.models.yolov5 import YoloV5
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rng = np.random.default_rng(11)
+    for i in range(9):  # 2 chunks of 8 + padded tail
+        np.save(img_dir / f"im{i}.npy",
+                rng.random((40, 56, 3)).astype(np.float32))
+
+    net = YoloV5(variant="n", num_classes=8, img_size=64)
+    params, stats = net.init(jax.random.PRNGKey(2))
+    kw = dict(batch_size=8, conf_thres=1e-6, iou_thres=0.5, img_size=64)
+    run_detection(net, params, stats, str(img_dir), str(tmp_path / "single"),
+                  **kw)
+    run_detection(net, params, stats, str(img_dir), str(tmp_path / "sharded"),
+                  mesh=make_mesh(("dp",)), **kw)
+    for i in range(9):
+        a = np.load(tmp_path / "single" / f"im{i}.npy")
+        b = np.load(tmp_path / "sharded" / f"im{i}.npy")
+        np.testing.assert_allclose(a, b, atol=1e-5)
+    assert sum(np.load(tmp_path / "single" / f"im{i}.npy").size
+               for i in range(9)) > 0

@@ -122,6 +122,15 @@ def main(opts):
         )
     net, params, stats = load_detector(opts.model, opts.model_path, num_class)
 
+    mesh = None
+    if getattr(opts, "data_parallel", False):
+        import jax
+
+        if len(jax.devices()) > 1:
+            from edgeml_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh(("dp",))
+
     from edgeml_tpu.models.infer import run_detection
 
     run_detection(
@@ -135,6 +144,7 @@ def main(opts):
         iou_thres=opts.iou_thres,
         fmt=opts.format,
         class_map=class_map,
+        mesh=mesh,
     )
 
 
@@ -154,6 +164,10 @@ def getargs():
     args.add_argument('--iou-thres', type=float, default=0.6, help="NMS IoU threshold.")
     args.add_argument('--format', type=str, default="npy", choices=["npy", "txt"],
                       help="Per-image output format.")
+    args.add_argument('--data-parallel', action="store_true",
+                      help="Shard the serving batch over all visible devices "
+                           "(batch size must divide evenly; additive flag, no "
+                           "reference equivalent).")
     return args.parse_args()
 
 
