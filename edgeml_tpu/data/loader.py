@@ -44,12 +44,17 @@ def decode_image(path: str) -> np.ndarray:
     return np.asarray(Image.open(path).convert("RGB"), np.float32) / 255.0
 
 
-@lru_cache(maxsize=256)
+@lru_cache(maxsize=16)
 def _linear_weights(in_size: int, out_size: int, antialias: bool = True):
     """(out, in) separable resampling matrix with jax.image.resize 'bilinear'
     semantics: half-pixel centers, triangle kernel widened to 1/scale when
     downscaling (antialias), out-of-range taps dropped and rows renormalized.
-    Verified against jax.image.resize to <3e-5 (tests/test_loader.py)."""
+    Verified against jax.image.resize to <3e-5 (tests/test_loader.py).
+
+    maxsize is deliberately small: a VOC/COCO-scale run produces hundreds of
+    distinct (in, out) pairs at ~1 MB each, and the matrices are cheap to
+    recompute — a large cache would quietly hold 100s of MB of host RAM
+    against the loader's bounded-RSS contract."""
     scale = out_size / in_size
     x = np.arange(out_size, dtype=np.float64)
     u = (x + 0.5) / scale - 0.5

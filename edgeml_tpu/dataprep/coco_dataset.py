@@ -116,7 +116,13 @@ def polygons_to_mask(polygons, height: int, width: int) -> np.ndarray:
 
 
 def _fill_polygon(pts: np.ndarray, height: int, width: int) -> np.ndarray:
-    """Even-odd scanline fill of one polygon at pixel centers (x+.5, y+.5)."""
+    """Even-odd scanline fill of one polygon at pixel centers (x+.5, y+.5).
+
+    A pixel is inside iff the number of edge crossings strictly to the RIGHT
+    of its center is odd. Crossings are binned to pixel columns and counted
+    with a per-row cumsum — O(H*(E+W)) time and memory; the naive
+    (H, E, W) crossing tensor peaks at hundreds of MB for COCO-sized
+    polygons (E~300, 640x480)."""
     x, y = pts[:, 0], pts[:, 1]
     x2, y2 = np.roll(x, -1), np.roll(y, -1)
     yc = np.arange(height)[:, None] + 0.5  # (H, 1) scanline centers
@@ -126,11 +132,16 @@ def _fill_polygon(pts: np.ndarray, height: int, width: int) -> np.ndarray:
     with np.errstate(divide="ignore", invalid="ignore"):
         t = (yc - y[None, :]) / (y2 - y)[None, :]
     xs = x[None, :] + t * (x2 - x)[None, :]  # (H, E) intersection x
-    xs = np.where(cross, xs, np.inf)
-    xc = np.arange(width)[None, None, :] + 0.5  # pixel centers
-    # parity of crossings to the RIGHT of each pixel center
-    inside = (xs[:, :, None] > xc) & cross[:, :, None]
-    return (inside.sum(1) % 2).astype(bool)
+    # crossings_at_or_left(row, j) = #{xs <= j + 0.5}; a crossing at exactly
+    # the pixel center does NOT count as "to the right" (strict >), so it
+    # belongs to column ceil(xs - 0.5) and every column after it.
+    rows, edges = np.nonzero(cross)
+    col = np.clip(np.ceil(xs[rows, edges] - 0.5).astype(np.int64), 0, width)
+    hist = np.zeros((height, width + 1), np.int64)
+    np.add.at(hist, (rows, col), 1)
+    at_or_left = np.cumsum(hist[:, :width], axis=1)
+    n_cross = cross.sum(axis=1)  # (H,)
+    return ((n_cross[:, None] - at_or_left) % 2).astype(bool)
 
 
 def segmentation_to_mask(seg, height: int, width: int) -> np.ndarray:

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.metrics import box_iou_safe
-from ..ops.nms import non_max_suppression, _iou_one_vs_many
+from ..ops.nms import non_max_suppression, _iou_one_vs_many, topk1d
 from .common import conv2d, conv_init
 from .resnet import ResNet50FPN
 
@@ -239,7 +239,9 @@ class FasterRCNN:
             cand_boxes, cand_scores = [], []
             for (cls, reg), anc in zip(level_data, anchors_per_level):
                 k = min(pre_nms, cls.shape[0])
-                scores, idx = jax.lax.top_k(cls, k)
+                # topk1d, not lax.top_k: the P2 level is 76,800 logits at
+                # 640^2, inside XLA's measured TopK shape cliff (CLAUDE.md)
+                scores, idx = topk1d(cls, k)
                 boxes = _decode(reg[idx], anc[idx], (1.0, 1.0, 1.0, 1.0))
                 boxes = jnp.clip(boxes, 0.0, self.image_size)
                 # drop degenerate boxes

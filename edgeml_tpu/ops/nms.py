@@ -113,7 +113,9 @@ def nms_rows(
     Returns (dets (max_det, 6) [x1, y1, x2, y2, score, cls], valid).
     """
     k = min(max_cand, scores.shape[0])
-    top_scores, top_idx = jax.lax.top_k(jnp.where(scores > 0, scores, -1.0), k)
+    # chunked exact top_k: Faster R-CNN feeds 90,000 (proposal, class) rows
+    # here — inside XLA TopK's measured shape cliff (CLAUDE.md)
+    top_scores, top_idx = topk1d(jnp.where(scores > 0, scores, -1.0), k)
     cand_boxes = boxes[top_idx]
     cand_cls = cls_ids[top_idx]
     return _emit(cand_boxes, top_scores, cand_cls, iou_thres, max_det)
@@ -303,7 +305,7 @@ def non_max_suppression(
         best_conf = jnp.max(cls_conf, axis=1)
         scores = jnp.where(gate & (best_conf > conf_thres), best_conf, -1.0)
         k = min(max_cand, n)
-        top_scores, box_idx = jax.lax.top_k(scores, k)
+        top_scores, box_idx = topk1d(scores, k)
         cls_idx = best_cls[box_idx].astype(jnp.float32)
 
     cand_boxes = xyxy[box_idx]

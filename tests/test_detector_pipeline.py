@@ -218,3 +218,35 @@ def test_train_cli_with_augmentation(dataset):
     )
     train_cli.main(ns)
     assert (tmp / "ckpt_aug" / "checkpoint.pth").exists()
+
+
+def test_detect_cli_torchvision_family(dataset):
+    """detect.py with an anchor-family model (_detect_generic path): per-image
+    files in the same normalized (cls, x, y, w, h, conf) contract, with the
+    COCO 91->80 remap applied."""
+    tmp, img_dir, lab_dir = dataset
+    import detect as detect_cli
+
+    ns = types.SimpleNamespace(
+        img_dir=img_dir,
+        save_dir=str(tmp / "dets_ssd"),
+        dataset="coco",
+        model="ssd",
+        model_path="",
+        batch_size=4,
+        conf_thres=0.001,
+        iou_thres=0.6,
+        format="npy",
+    )
+    detect_cli.main(ns)
+    files = sorted(os.listdir(tmp / "dets_ssd"))
+    assert files == [f"im{i}.npy" for i in range(8)]
+    got_rows = 0
+    for f in files:
+        arr = np.load(tmp / "dets_ssd" / f)
+        assert arr.ndim == 2 and (arr.shape[0] == 0 or arr.shape[1] == 6)
+        if arr.size:
+            got_rows += arr.shape[0]
+            assert (arr[:, 0] >= 0).all() and (arr[:, 0] <= 79).all()
+            assert (arr[:, 1:5] >= 0).all() and (arr[:, 1:5] <= 1).all()
+    assert got_rows > 0  # random weights at conf 1e-3 must emit something

@@ -52,17 +52,14 @@ def load_detector(model_name: str, model_path: str, num_class: int):
         # ImageNet backbone (the reference trainer's path) is full-tail.
         # Sniff the provided state_dict for the reduced-tail 480->... last
         # conv so both load transparently (reference detect.py:21-26 picks
-        # between weights='DEFAULT' and a custom checkpoint the same way).
+        # between weights='DEFAULT' and a custom checkpoint the same way),
+        # then fall through to the shared load path below.
         reduced = False
         if model_path:
-            sd_probe = load_state_dict(model_path)
             reduced = any(
                 tuple(getattr(v, "shape", ())) == (480, 80, 1, 1)
-                for v in sd_probe.values()
+                for v in load_state_dict(model_path).values()
             )
-            net = SSDLite(num_classes=num_class, reduced_tail=reduced)
-            params, stats = net.params_from_torch_state_dict(sd_probe)
-            return net, params, stats
         net = SSDLite(num_classes=num_class, reduced_tail=reduced)
     elif model_name == "retinanet":
         from edgeml_tpu.models.retinanet import RetinaNet
