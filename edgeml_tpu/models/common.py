@@ -74,6 +74,35 @@ def conv2d_stem_s2d(x, w):
     return conv2d(xs, ws, 1, padding=((p, p), (p, p)))
 
 
+def conv2d_s2d_k3s2(x, w):
+    """3x3 stride-2 pad-1 conv as a 2x2 stride-1 conv over the 2x2
+    space-to-depth input: the kernel is zero-padded to 4x4 at the leading
+    row/column (0-weight taps contribute exact zeros), which makes it the
+    even-kernel case of conv2d_stem_s2d with asymmetric (1, 0) padding.
+    Same tap set, different contraction layout. Requires even H, W.
+
+    NOT wired into YoloV5: it wins in isolation (cin 16: 5.1 -> 4.2 ms at
+    B=128 on v5e, tools/exp_round3.py) but regresses the full pipeline ~7%
+    — the input transpose breaks XLA's fusion with the producing stage.
+    Kept (with its equivalence test) as a building block and a measured
+    negative result; only the RGB stem (conv2d_stem_s2d, where the producer
+    is the raw image) composes profitably.
+    """
+    b, h, wd, c = x.shape
+    w4 = jnp.zeros((4, 4) + w.shape[2:], w.dtype).at[1:, 1:].set(w)
+    xs = (
+        x.reshape(b, h // 2, 2, wd // 2, 2, c)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(b, h // 2, wd // 2, 4 * c)
+    )
+    ws = (
+        w4.reshape(2, 2, 2, 2, c, -1)
+        .transpose(0, 2, 1, 3, 4, 5)
+        .reshape(2, 2, 4 * c, -1)
+    )
+    return conv2d(xs, ws, 1, padding=((1, 0), (1, 0)))
+
+
 def bn_init(c: int):
     return {
         "scale": jnp.ones((c,)),

@@ -198,15 +198,14 @@ class YoloV5:
         # XLA's SAME padding distributes asymmetrically for stride-2 k=3
         # convolutions ((0,1) instead of torch's (1,1)), which would shift
         # every downsampling layer by one pixel vs imported weights.
-        if (
-            p["w"].shape[:3] == (6, 6, 3)
-            and stride == 2
-            and pad == 2
-            and x.shape[1] % 2 == 0
-            and x.shape[2] % 2 == 0
-        ):
+        even = x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
+        if p["w"].shape[:3] == (6, 6, 3) and stride == 2 and pad == 2 and even:
             # the RGB stem: space-to-depth formulation, same tap set,
-            # ~1.7x faster on TPU (see conv2d_stem_s2d)
+            # ~1.7x faster on TPU (see conv2d_stem_s2d). The later k=3 s2
+            # downsamplers are deliberately NOT s2d'd: conv2d_s2d_k3s2 wins
+            # in isolation (5.1 -> 4.2 ms) but regresses the full pipeline
+            # ~7% — the input transpose breaks XLA's fusion with the
+            # producing stage (measured bf16 e2e 3378 -> 3141 img/s).
             x = conv2d_stem_s2d(x, p["w"])
         else:
             x = conv2d(x, p["w"], stride, padding=((pad, pad), (pad, pad)))

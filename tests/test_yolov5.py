@@ -311,3 +311,18 @@ def test_stem_s2d_equivalence():
     np.testing.assert_allclose(
         np.asarray(direct), np.asarray(s2d), atol=1e-4, rtol=1e-4
     )
+
+
+def test_s2d_k3s2_equivalence():
+    """conv2d_s2d_k3s2 matches the direct 3x3 s2 p1 conv (zero-padded taps
+    contribute exact zeros; only summation order differs)."""
+    from edgeml_tpu.models.common import conv2d, conv2d_s2d_k3s2
+
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 64, 96, 16))
+    w = jax.random.normal(jax.random.PRNGKey(3), (3, 3, 16, 32)) * 0.2
+    direct = conv2d(x, w, 2, padding=((1, 1), (1, 1)))
+    s2d = conv2d_s2d_k3s2(x, w)
+    assert direct.shape == s2d.shape == (2, 32, 48, 32)
+    np.testing.assert_allclose(
+        np.asarray(direct), np.asarray(s2d), atol=1e-4, rtol=1e-4
+    )
