@@ -1,0 +1,79 @@
+"""Serving throughput of the anchor families on TPU (random weights).
+
+Exercises _detect_generic end-to-end per family — including the chunked
+proposal top-k paths that otherwise only run on the CPU test platform —
+and records img/s at a modest batch.
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+
+from edgeml_tpu.models.infer import _detect_generic
+
+B = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+which = sys.argv[1] if len(sys.argv) > 1 else "all"
+
+
+def cheap(seed, shape):
+    n = 1
+    for d in shape:
+        n *= d
+    i = jax.lax.broadcasted_iota(jnp.uint32, (n,), 0)
+    h = (i + jnp.uint32(seed)) * jnp.uint32(2654435761)
+    h = h ^ (h >> 15)
+    h = h * jnp.uint32(2246822519)
+    return ((h >> 8).astype(jnp.float32) * (1.0 / (1 << 24))).reshape(shape)
+
+
+def bench_family(name):
+    if name == "ssd":
+        from edgeml_tpu.models.ssdlite import SSDLite
+
+        net = SSDLite(num_classes=91)
+        params, stats = net.init(jax.random.PRNGKey(0))
+        size = net.image_size
+    elif name == "retinanet":
+        from edgeml_tpu.models.retinanet import RetinaNet
+
+        net = RetinaNet(num_classes=91)
+        params = net.init(jax.random.PRNGKey(0))
+        stats = None
+        size = net.image_size
+    else:
+        from edgeml_tpu.models.faster_rcnn import FasterRCNN
+
+        net = FasterRCNN(num_classes=91)
+        params = net.init(jax.random.PRNGKey(0))
+        stats = None
+        size = net.image_size
+
+    @jax.jit
+    def step(acc, seed):
+        imgs = cheap(seed, (B, size, size, 3))
+        dets, valid = _detect_generic(net, params, stats, imgs, 0.05, 0.5)
+        return acc + dets.sum() * 1e-9 + valid.sum() * 1e-9
+
+    t0 = time.perf_counter()
+    acc = step(jnp.zeros(()), 0)
+    acc.block_until_ready()
+    print(f"{name}: warmup incl. compile {time.perf_counter() - t0:.1f}s",
+          flush=True)
+    iters = 6
+    t0 = time.perf_counter()
+    for i in range(iters):
+        acc = step(acc, 1 + i)
+    acc.block_until_ready()
+    dt = (time.perf_counter() - t0) / iters
+    print(f"{name:12s} B={B} size={size}: {dt * 1e3:8.2f} ms/batch "
+          f"{B / dt:7.1f} img/s", flush=True)
+
+
+for name in (("ssd", "retinanet", "faster_rcnn") if which == "all"
+             else (which,)):
+    bench_family(name)
