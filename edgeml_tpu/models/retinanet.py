@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.metrics import box_iou_safe
-from ..ops.nms import non_max_suppression
+from ..ops.nms import nms_split
 from .common import conv2d, conv_init
 from .resnet import ResNet50FPN
 
@@ -225,12 +225,15 @@ def retina_postprocess(
     boxes = jnp.clip(boxes, 0.0, net.image_size)
 
     def one(sc, bx):
+        # split NMS core (obj == 1): no packed (N, 5+C) tensor, so no
+        # strided minor-dim slices at N=76,725 on TPU (same results as the
+        # packed non_max_suppression; see ops/nms.py nms_split)
         xywh = jnp.concatenate(
             [(bx[:, :2] + bx[:, 2:4]) * 0.5, bx[:, 2:4] - bx[:, :2]], axis=1
         )
-        pred = jnp.concatenate([xywh, jnp.ones((bx.shape[0], 1)), sc], axis=1)
-        return non_max_suppression(
-            pred, conf_thres=score_thresh, iou_thres=nms_thresh,
+        return nms_split(
+            jnp.ones((bx.shape[0],), sc.dtype), xywh, sc,
+            conf_thres=score_thresh, iou_thres=nms_thresh,
             max_det=max_det, max_cand=2048, multi_label=True,
         )
 

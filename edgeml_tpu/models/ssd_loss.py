@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.metrics import box_iou_safe
-from ..ops.nms import non_max_suppression
+from ..ops.nms import nms_split
 
 
 def match_anchors(anchors, gt_boxes, gt_valid, iou_thresh: float = 0.5):
@@ -101,7 +101,9 @@ def ssd_postprocess(
     boxes = jnp.clip(boxes, 0.0, net.image_size)
 
     def one(sc, bx):
-        # Reuse the yolo NMS core by building rows [x, y, w, h, obj=1, cls..]
+        # split NMS core with obj == 1 — avoids the packed (A, 5+C) tensor
+        # and its strided minor-dim slices on TPU (same results as the
+        # packed non_max_suppression; see ops/nms.py nms_split)
         xywh = jnp.concatenate(
             [
                 (bx[:, :2] + bx[:, 2:4]) * 0.5,
@@ -109,9 +111,8 @@ def ssd_postprocess(
             ],
             axis=1,
         )
-        pred = jnp.concatenate([xywh, jnp.ones((bx.shape[0], 1)), sc], axis=1)
-        dets, valid = non_max_suppression(
-            pred,
+        dets, valid = nms_split(
+            jnp.ones((bx.shape[0],), sc.dtype), xywh, sc,
             conf_thres=score_thresh,
             iou_thres=nms_thresh,
             max_det=max_det,
