@@ -176,20 +176,15 @@ def run_yolo():
     meta = jnp.tile(jnp.asarray([[1.0, 0.0, 0.0]]), (b, 1))
     hw = jnp.tile(jnp.asarray([[640.0, 640.0]]), (b, 1))
 
+    from edgeml_tpu.utils.synth import hash_uniform
+
     def fresh_images(seed):
-        """Per-step synthetic images from a multiplicative hash of the loop
-        index: a few VPU ops/element. threefry (jax.random.uniform) costs
-        ~8 ms per (128, 640, 640, 3) batch on v5e — 15% of the serving step
-        — which would bill RNG, not the detector, to the throughput number.
-        Fresh per-iteration values still defeat relay-side result caching."""
-        n = b * 640 * 640 * 3
-        i = jax.lax.broadcasted_iota(jnp.uint32, (n,), 0)
-        h = (i + jnp.uint32(seed)) * jnp.uint32(2654435761)
-        h = h ^ (h >> 15)
-        h = h * jnp.uint32(2246822519)
-        return ((h >> 8).astype(jnp.float32) * (1.0 / (1 << 24))).reshape(
-            b, 640, 640, 3
-        )
+        """Per-step synthetic images from a cheap on-device hash: threefry
+        (jax.random.uniform) costs ~8 ms per (128, 640, 640, 3) batch on
+        v5e — 15% of the serving step — which would bill RNG, not the
+        detector, to the throughput number. Fresh per-iteration values
+        still defeat relay-side result caching."""
+        return hash_uniform(seed, (b, 640, 640, 3))
 
     out = {}
     for name, dt in (("f32", None), ("bf16", jnp.bfloat16)):

@@ -157,6 +157,9 @@ def roi_align_fpn(feats, boxes, image_size: int, out: int = 7, sampling: int = 2
         return jax.vmap(one)(boxes)
 
     n = boxes.shape[0]
+    ch = feats[0].shape[-1]
+    if n == 0:
+        return jnp.zeros((0, out, out, ch), feats[0].dtype)
     chunk = min(chunk, n)
     pad = -n % chunk
     boxes_p = jnp.pad(boxes, ((0, pad), (0, 0)))

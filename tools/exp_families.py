@@ -15,20 +15,13 @@ import jax
 import jax.numpy as jnp
 
 from edgeml_tpu.models.infer import _detect_generic
+from edgeml_tpu.utils.synth import hash_uniform as cheap
 
+FAMILIES = ("ssd", "retinanet", "faster_rcnn")
 B = int(sys.argv[2]) if len(sys.argv) > 2 else 16
 which = sys.argv[1] if len(sys.argv) > 1 else "all"
-
-
-def cheap(seed, shape):
-    n = 1
-    for d in shape:
-        n *= d
-    i = jax.lax.broadcasted_iota(jnp.uint32, (n,), 0)
-    h = (i + jnp.uint32(seed)) * jnp.uint32(2654435761)
-    h = h ^ (h >> 15)
-    h = h * jnp.uint32(2246822519)
-    return ((h >> 8).astype(jnp.float32) * (1.0 / (1 << 24))).reshape(shape)
+if which != "all" and which not in FAMILIES:
+    raise SystemExit(f"unknown family {which!r}; choose from {FAMILIES} or 'all'")
 
 
 def bench_family(name):
@@ -74,6 +67,5 @@ def bench_family(name):
           f"{B / dt:7.1f} img/s", flush=True)
 
 
-for name in (("ssd", "retinanet", "faster_rcnn") if which == "all"
-             else (which,)):
+for name in (FAMILIES if which == "all" else (which,)):
     bench_family(name)
