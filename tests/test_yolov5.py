@@ -326,3 +326,41 @@ def test_s2d_k3s2_equivalence():
     np.testing.assert_allclose(
         np.asarray(direct), np.asarray(s2d), atol=1e-4, rtol=1e-4
     )
+
+
+def test_bf16_serving_path():
+    """predict(dtype=bf16): obj/cls come out bfloat16, boxes float32; values
+    track the f32 path within bf16 tolerance; and the pipelined carry keeps
+    STABLE dtypes across steps (a mismatched zero carry silently recompiles
+    the serving step every launch — the 25x collapse of round 2)."""
+    from edgeml_tpu.models.infer import _detect_pipe_step, _zero_carry
+
+    net = YoloV5(variant="n", num_classes=8, img_size=64)
+    params, stats = net.init(jax.random.PRNGKey(1))
+    x = jax.random.uniform(jax.random.PRNGKey(2), (2, 64, 64, 3))
+
+    obj, xywh, cls = net.predict(params, stats, x)
+    obj_h, xywh_h, cls_h = net.predict(params, stats, x, dtype=jnp.bfloat16)
+    assert obj_h.dtype == cls_h.dtype == jnp.bfloat16
+    assert xywh_h.dtype == jnp.float32
+    np.testing.assert_allclose(
+        np.asarray(obj), np.asarray(obj_h, dtype=np.float32), atol=0.03
+    )
+    np.testing.assert_allclose(
+        np.asarray(xywh), np.asarray(xywh_h), atol=2.0, rtol=0.05
+    )
+
+    b = 2
+    meta = jnp.tile(jnp.asarray([[1.0, 0.0, 0.0]]), (b, 1))
+    hw = jnp.tile(jnp.asarray([[64.0, 64.0]]), (b, 1))
+    carry = _zero_carry(net, b, 64, dtype=jnp.bfloat16)
+    dtypes0 = [a.dtype for a in jax.tree_util.tree_leaves(carry)]
+    for seed in (3, 4):
+        imgs = jax.random.uniform(jax.random.PRNGKey(seed), (b, 64, 64, 3))
+        carry, dets, valid = _detect_pipe_step(
+            net, params, stats, carry, imgs, meta, hw, 1e-4, 0.5,
+            dtype=jnp.bfloat16,
+        )
+        assert [a.dtype for a in jax.tree_util.tree_leaves(carry)] == dtypes0
+    assert np.asarray(valid).sum() > 0
+    assert np.isfinite(np.asarray(dets)).all()
