@@ -148,19 +148,38 @@ def _zero_carry(net: YoloV5, batch: int, size: int, dtype=None):
     )
 
 
-def _detect_generic(net, params, stats, images, conf_thres, iou_thres):
+def _detect_generic(net, params, stats, images, conf_thres, iou_thres,
+                    dtype=None):
     """Anchor-family dispatch (SSDLite / RetinaNet / Faster R-CNN): forward +
     family postprocess, boxes returned as normalized (cls, xywh, conf) rows.
 
     Plain square resize means normalized coordinates are scale-invariant:
     x/S in model space equals x_orig/w in image space.
+
+    dtype: optional compute dtype for the SSDLite/RetinaNet backbone+heads
+    (e.g. jnp.bfloat16 — the same serving knob as YoloV5.predict; these
+    families are backbone-bound). Head outputs are cast back to f32 before
+    decode/postprocess; Faster R-CNN's multi-stage detect stays f32.
     """
+
+    def cast(t):
+        return jax.tree_util.tree_map(
+            lambda a: a.astype(dtype)
+            if getattr(a, "dtype", None) == jnp.float32 else a, t)
+
     kind = type(net).__name__
     if kind == "SSDLite":
         from .ssd_loss import ssd_postprocess
         from .ssdlite import default_boxes
 
-        (cls_logits, reg), _ = net.apply(params, stats, images, train=False)
+        if dtype is not None:
+            (cls_logits, reg), _ = net.apply(
+                cast(params), cast(stats), images.astype(dtype), train=False
+            )
+            cls_logits = cls_logits.astype(jnp.float32)
+            reg = reg.astype(jnp.float32)
+        else:
+            (cls_logits, reg), _ = net.apply(params, stats, images, train=False)
         anchors = jnp.asarray(default_boxes(net.image_size))
         dets, valid = ssd_postprocess(
             net, cls_logits, reg, anchors,
@@ -169,7 +188,12 @@ def _detect_generic(net, params, stats, images, conf_thres, iou_thres):
     elif kind == "RetinaNet":
         from .retinanet import retina_anchors, retina_postprocess
 
-        cls_logits, reg = net.apply(params, images)
+        if dtype is not None:
+            cls_logits, reg = net.apply(cast(params), images.astype(dtype))
+            cls_logits = cls_logits.astype(jnp.float32)
+            reg = reg.astype(jnp.float32)
+        else:
+            cls_logits, reg = net.apply(params, images)
         anchors = jnp.asarray(retina_anchors(net.image_size))
         dets, valid = retina_postprocess(
             net, cls_logits, reg, anchors,
@@ -208,8 +232,13 @@ def run_detection(
     fmt: str = "npy",
     class_map=None,
     mesh=None,
+    dtype=None,
 ):
     """Detect every image in img_dir; save per-image detection files.
+
+    dtype: optional serving compute dtype (e.g. jnp.bfloat16) — the speed/
+    accuracy knob of YoloV5.predict and _detect_generic; None (default)
+    keeps the bit-exact f32 path.
 
     mesh: optional jax.sharding.Mesh — weights are replicated and the batch
     axis of every device input is sharded over the mesh's first axis, so the
@@ -287,14 +316,16 @@ def run_detection(
         # and the previous batch's NMS tail in one program (_detect_pipe_step);
         # results stream out shifted by one batch, with a zero-image flush
         # step at the end. File outputs are identical to the unpipelined path.
-        carry = jax.tree_util.tree_map(place, _zero_carry(net, batch_size, size))
+        carry = jax.tree_util.tree_map(
+            place, _zero_carry(net, batch_size, size, dtype)
+        )
         pending = None  # chunk whose detections are still on device
         for chunk_names, arr, meta, hw in iter_batches(
             img_dir, names, batch_size, make_batch
         ):
             carry, dets, valid = _detect_pipe_step(
                 net, params, stats, carry, place(arr),
-                place(meta), place(hw), conf_thres, iou_thres,
+                place(meta), place(hw), conf_thres, iou_thres, dtype=dtype,
             )
             if pending is not None:
                 save_batch(pending, dets, valid)
@@ -305,6 +336,7 @@ def run_detection(
                 net, params, stats, carry,
                 place(jnp.zeros((batch_size, size, size, 3), jnp.float32)),
                 place(zero[1]), place(zero[2]), conf_thres, iou_thres,
+                dtype=dtype,
             )
             save_batch(pending, dets, valid)
     else:
@@ -312,7 +344,8 @@ def run_detection(
             img_dir, names, batch_size, make_batch
         ):
             dets, valid = _detect_generic(
-                net, params, stats, place(arr), conf_thres, iou_thres
+                net, params, stats, place(arr), conf_thres, iou_thres,
+                dtype=dtype,
             )
             save_batch(chunk_names, dets, valid)
 

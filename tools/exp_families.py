@@ -19,6 +19,7 @@ from edgeml_tpu.utils.synth import hash_uniform as cheap
 
 FAMILIES = ("ssd", "retinanet", "faster_rcnn")
 B = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+DTYPE = sys.argv[3] if len(sys.argv) > 3 else "f32"
 which = sys.argv[1] if len(sys.argv) > 1 else "all"
 if which != "all" and which not in FAMILIES:
     raise SystemExit(f"unknown family {which!r}; choose from {FAMILIES} or 'all'")
@@ -46,10 +47,13 @@ def bench_family(name):
         stats = None
         size = net.image_size
 
+    dt = jnp.bfloat16 if DTYPE == "bf16" else None
+
     @jax.jit
     def step(acc, seed):
         imgs = cheap(seed, (B, size, size, 3))
-        dets, valid = _detect_generic(net, params, stats, imgs, 0.05, 0.5)
+        dets, valid = _detect_generic(net, params, stats, imgs, 0.05, 0.5,
+                                      dtype=dt)
         return acc + dets.sum() * 1e-9 + valid.sum() * 1e-9
 
     t0 = time.perf_counter()
@@ -63,7 +67,7 @@ def bench_family(name):
         acc = step(acc, 1 + i)
     acc.block_until_ready()
     dt = (time.perf_counter() - t0) / iters
-    print(f"{name:12s} B={B} size={size}: {dt * 1e3:8.2f} ms/batch "
+    print(f"{name:12s} B={B} {DTYPE} size={size}: {dt * 1e3:8.2f} ms/batch "
           f"{B / dt:7.1f} img/s", flush=True)
 
 

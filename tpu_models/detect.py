@@ -128,6 +128,12 @@ def main(opts):
 
             mesh = make_mesh(("dp",))
 
+    dtype = None
+    if getattr(opts, "bf16", False):
+        import jax.numpy as jnp
+
+        dtype = jnp.bfloat16
+
     from edgeml_tpu.models.infer import run_detection
 
     run_detection(
@@ -142,6 +148,7 @@ def main(opts):
         fmt=opts.format,
         class_map=class_map,
         mesh=mesh,
+        dtype=dtype,
     )
 
 
@@ -165,6 +172,10 @@ def getargs():
                       help="Shard the serving batch over all visible devices "
                            "(batch size must divide evenly; additive flag, no "
                            "reference equivalent).")
+    args.add_argument('--bf16', action="store_true",
+                      help="bfloat16 serving (backbone + scores; boxes stay "
+                           "f32) — the reference's --half analogue for TPU. "
+                           "Not supported for faster_rcnn (stays f32).")
     return args.parse_args()
 
 
