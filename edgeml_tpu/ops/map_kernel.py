@@ -284,6 +284,12 @@ def _ap_matrix(pool, weak_sel, strong_sel, label_sel):
     dtype = jnp.float32
     nt = jnp.matmul(label_sel.astype(dtype), pool.hist, preferred_element_type=dtype)  # (C,)
     sel = jnp.where(pool.strong, strong_sel[pool.img], weak_sel[pool.img])
+    return _ap_from_sel(pool, sel, nt), (nt > 0).astype(dtype)
+
+
+def _ap_from_sel(pool, sel, nt):
+    """AP (C, T) from an already-gathered per-detection inclusion mask."""
+    dtype = jnp.float32
     m = (sel & pool.valid).astype(dtype)  # (C, K)
 
     def per_class(tp_ck, m_c, nt_c):
@@ -294,8 +300,41 @@ def _ap_matrix(pool, weak_sel, strong_sel, label_sel):
         fpc = npred[:, None] - tpc
         return jax.vmap(lambda t, f: ap_interp101(t, f, nt_c), in_axes=1)(tpc, fpc)
 
-    ap = jax.vmap(per_class)(pool.tp, m, nt)  # (C, T)
-    return ap, (nt > 0).astype(dtype)
+    return jax.vmap(per_class)(pool.tp, m, nt)  # (C, T)
+
+
+def orie_map_pair(pool: DetectionPool, in_ens: jax.Array, target: jax.Array):
+    """(weak_map, strong_map) for one ORIE draw, sharing the per-detection
+    mask gather and the label histogram between the two evaluations.
+
+    Equivalent to
+        map_from_masks(pool, lmask, zeros, lmask),
+        map_from_masks(pool, in_ens, is_target, lmask)
+    with lmask = in_ens | is_target — but `is_target` rows are a comparison
+    against the constant pool.img array (no gather), so the pair costs ONE
+    (C, K) mask gather and ONE (N,) x (N, C) histogram matmul instead of
+    four and two.
+
+    :param in_ens: (N,) bool — ensemble membership (target excluded).
+    :param target: scalar int — the target image index.
+    """
+    dtype = jnp.float32
+    lmask = in_ens | (jnp.arange(pool.num_images) == target)
+    nt = jnp.matmul(lmask.astype(dtype), pool.hist, preferred_element_type=dtype)
+    lm_rows = lmask[pool.img]  # (C, K) — the single gather
+    is_t = pool.img == target  # (C, K) compare vs a constant array
+    # weak eval: weak_sel = lmask, strong_sel = 0
+    sel_weak = lm_rows & ~pool.strong
+    # strong eval: weak_sel = in_ens = lmask & ~is_target, strong_sel = is_target
+    sel_strong = jnp.where(pool.strong, is_t, lm_rows & ~is_t)
+    has = (nt > 0).astype(dtype)
+    denom = jnp.sum(has) * pool.tp.shape[2]
+
+    def mean_ap(sel):
+        ap = _ap_from_sel(pool, sel, nt)
+        return jnp.sum(ap * has[:, None]) / denom  # NaN when denom == 0
+
+    return mean_ap(sel_weak), mean_ap(sel_strong)
 
 
 def dataset_map(pool: DetectionPool, offload_mask: jax.Array) -> jax.Array:

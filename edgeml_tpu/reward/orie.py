@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.map_kernel import DetectionPool, build_pool, map_from_masks
+from ..ops.map_kernel import DetectionPool, build_pool, orie_map_pair
 
 
 @partial(jax.jit, static_argnames=("num_ensemble",))
@@ -55,10 +55,9 @@ def _orie_batch(
             in_ens = u <= kth
         else:
             in_ens = jnp.zeros((n,), bool)
-        lmask = in_ens | is_target
-        zeros = jnp.zeros((n,), bool)
-        weak_map = map_from_masks(pool, lmask, zeros, lmask)
-        strong_map = map_from_masks(pool, in_ens, is_target, lmask)
+        # fused pair evaluation: one mask gather + one histogram matmul for
+        # both the weak and the strong dataset mAP (ops/map_kernel.py)
+        weak_map, strong_map = orie_map_pair(pool, in_ens, i)
         r = (strong_map - weak_map) * (e + 1)
         return jnp.where(jnp.isnan(r), 0.0, r)
 
