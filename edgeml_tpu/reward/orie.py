@@ -51,6 +51,8 @@ def _orie_batch(
         u = jax.random.uniform(k, (n,))
         u = jnp.where(is_target, 2.0, u)
         if e > 0:
+            # top_k, not jnp.sort: the full sort of (n,) measured ~7% slower
+            # end-to-end on v5e (15.2k -> 14.2k img/s)
             kth = -jax.lax.top_k(-u, e)[0][e - 1]  # e-th smallest
             in_ens = u <= kth
         else:
