@@ -19,3 +19,11 @@ Layout (maps to SURVEY.md section 2's component inventory):
 """
 
 __version__ = "0.1.0"
+
+# Persistent XLA compilation cache: every entry point imports this package
+# before its first jit, and compiles on this machine pay a 12-417 s remote-
+# compile round trip (CLAUDE.md). Opt out with EDGEML_COMPILE_CACHE=off.
+from .utils.compile_cache import enable_compilation_cache as _ecc
+
+_ecc()
+del _ecc

@@ -129,8 +129,12 @@ def _fill_polygon(pts: np.ndarray, height: int, width: int) -> np.ndarray:
     # edges crossing each scanline (half-open rule avoids double-counting
     # vertices)
     cross = (np.minimum(y, y2)[None, :] <= yc) & (yc < np.maximum(y, y2)[None, :])
-    with np.errstate(divide="ignore", invalid="ignore"):
-        t = (yc - y[None, :]) / (y2 - y)[None, :]
+    # Horizontal edges (y2 == y) never satisfy `cross` (the half-open test is
+    # empty), so their intersection x is irrelevant — substitute a unit
+    # denominator explicitly instead of letting 0/0 produce NaNs that the
+    # cross mask would silently drop.
+    dy = y2 - y
+    t = (yc - y[None, :]) / np.where(dy == 0.0, 1.0, dy)[None, :]
     xs = x[None, :] + t * (x2 - x)[None, :]  # (H, E) intersection x
     # crossings_at_or_left(row, j) = #{xs <= j + 0.5}; a crossing at exactly
     # the pixel center does NOT count as "to the right" (strict >), so it

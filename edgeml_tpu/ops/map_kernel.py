@@ -315,7 +315,11 @@ def orie_map_pair(pool: DetectionPool, in_ens: jax.Array, target: jax.Array):
     (C, K) mask gather and ONE (N,) x (N, C) histogram matmul instead of
     four and two.
 
-    :param in_ens: (N,) bool — ensemble membership (target excluded).
+    :param in_ens: (N,) bool — ensemble membership. The target is treated as
+        excluded regardless: both selections mask with `~is_target` (free
+        under XLA fusion), so a caller accidentally passing a mask containing
+        the target still gets the contract semantics (ensemble = in_ens
+        minus target), not a corrupted strong-eval weak selection.
     :param target: scalar int — the target image index.
     """
     dtype = jnp.float32

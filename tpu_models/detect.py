@@ -33,6 +33,7 @@ def load_detector(model_name: str, model_path: str, num_class: int):
     """
     import jax
 
+    sd = None  # checkpoint state_dict, loaded at most once (tail sniff + import)
     if model_name.startswith("yolov5"):
         from edgeml_tpu.models.yolov5 import YoloV5
 
@@ -56,9 +57,10 @@ def load_detector(model_name: str, model_path: str, num_class: int):
         # then fall through to the shared load path below.
         reduced = False
         if model_path:
+            sd = sd if sd is not None else load_state_dict(model_path)
             reduced = any(
                 tuple(getattr(v, "shape", ())) == (480, 80, 1, 1)
-                for v in load_state_dict(model_path).values()
+                for v in sd.values()
             )
         net = SSDLite(num_classes=num_class, reduced_tail=reduced)
     elif model_name == "retinanet":
@@ -75,7 +77,7 @@ def load_detector(model_name: str, model_path: str, num_class: int):
             "Choose from yolov5n/s/m/l/x, ssd, faster_rcnn, retinanet."
         )
     if model_path:
-        sd = load_state_dict(model_path)
+        sd = sd if sd is not None else load_state_dict(model_path)
         params = net.params_from_torch_state_dict(sd)
         if isinstance(params, tuple):
             params, stats = params
