@@ -55,16 +55,16 @@ class DetectionEvaluator:
             self.gts.append(tuple(np.asarray(x) for x in g))
 
     def synchronize_between_processes(self):
+        """All-gather every process's accumulated images (ordered by process
+        index) before summarizing — the reference's coco_eval.py:157-176 merge,
+        as a pickle-based uint8 allgather (the payloads are ragged)."""
         if jax.process_count() == 1:
             return
-        from jax.experimental import multihost_utils
+        from .parallel.mesh import allgather_object
 
-        payload = (self.dets, self.gts)
-        gathered = multihost_utils.process_allgather(payload)
-        # process_allgather on pytrees of ragged host data is not generally
-        # available; fall back to object gather via broadcast if needed.
-        self.dets = [d for proc in gathered[0] for d in proc]
-        self.gts = [g for proc in gathered[1] for g in proc]
+        gathered = allgather_object((self.dets, self.gts))
+        self.dets = [d for dets, _ in gathered for d in dets]
+        self.gts = [g for _, gts in gathered for g in gts]
 
     def summarize(self, verbose: bool = True) -> dict:
         """Returns {'map': AP@[.5:.95], 'map50': AP@.5, 'map75': AP@.75, ...};

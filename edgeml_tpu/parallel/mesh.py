@@ -63,3 +63,34 @@ def replicate(x, mesh: Mesh):
 
 def pad_to_multiple(n: int, k: int) -> int:
     return -(-n // k) * k
+
+
+def allgather_object(obj):
+    """Gather one arbitrary picklable object from every process; returns the
+    list ordered by process index. Single-process: [obj].
+
+    JAX-native counterpart of the reference's utils.all_gather (torch
+    `all_gather_object`, /root/reference/torch_models/references/utils.py:70-83):
+    the object is pickled, padded to the max byte length across processes,
+    and exchanged as a uint8 `process_allgather` — which works for RAGGED
+    payloads (per-process different image counts), unlike a direct pytree
+    gather that needs identical shapes everywhere.
+    """
+    import pickle
+
+    if jax.process_count() == 1:
+        return [obj]
+    from jax.experimental import multihost_utils
+
+    data = np.frombuffer(pickle.dumps(obj), np.uint8)
+    sizes = np.asarray(
+        multihost_utils.process_allgather(np.array([data.size], np.int64))
+    ).reshape(-1)
+    buf = np.zeros(int(sizes.max()), np.uint8)
+    buf[: data.size] = data
+    gathered = np.asarray(multihost_utils.process_allgather(buf))
+    gathered = gathered.reshape(len(sizes), -1)
+    return [
+        pickle.loads(gathered[p, : int(sizes[p])].tobytes())
+        for p in range(len(sizes))
+    ]
