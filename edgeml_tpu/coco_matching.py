@@ -52,6 +52,43 @@ def iou_xyxy(dt: np.ndarray, gt: np.ndarray, crowd: np.ndarray) -> np.ndarray:
     return inter / np.maximum(union, 1e-12)
 
 
+def mask_iou(dt_masks: np.ndarray, gt_masks: np.ndarray,
+             crowd: np.ndarray) -> np.ndarray:
+    """(D, G) IoU of binary masks; crowd columns use the DETECTION area as
+    the denominator (pycocotools maskUtils.iou `iscrowd` convention)."""
+    dm = np.asarray(dt_masks, bool).reshape(len(dt_masks), -1)
+    gm = np.asarray(gt_masks, bool).reshape(len(gt_masks), -1)
+    inter = dm.astype(np.float64) @ gm.astype(np.float64).T
+    d_area = dm.sum(axis=1).astype(np.float64)
+    g_area = gm.sum(axis=1).astype(np.float64)
+    union = np.where(
+        np.asarray(crowd, bool)[None, :],
+        d_area[:, None],
+        d_area[:, None] + g_area[None, :] - inter,
+    )
+    return inter / np.maximum(union, 1e-12)
+
+
+def _as_mask_array(masks, n: int):
+    """Normalize a per-image mask payload to an (n, H, W) bool array.
+    Accepts an array, a list of dense masks, or a list of COCO RLE dicts."""
+    if masks is None:
+        raise ValueError("segm evaluation requires masks for every image")
+    if isinstance(masks, np.ndarray):
+        out = masks.astype(bool)
+    else:
+        from .dataprep.coco_dataset import rle_decode
+
+        out = np.stack(
+            [
+                rle_decode(m) if isinstance(m, dict) else np.asarray(m, bool)
+                for m in masks
+            ]
+        ) if len(masks) else np.zeros((0, 1, 1), bool)
+    assert len(out) == n, (len(out), n)
+    return out
+
+
 def match_image(
     dt_boxes: np.ndarray,  # (D, 4) xyxy, ALREADY sorted by descending score
     gt_boxes: np.ndarray,  # (G, 4) xyxy
@@ -59,6 +96,8 @@ def match_image(
     iouv: np.ndarray,  # (T,) thresholds
     area_rng: tuple,
     ious: np.ndarray | None = None,  # optional precomputed (D, G) IoU
+    gt_areas: np.ndarray | None = None,  # override box areas (segm: mask area)
+    dt_areas: np.ndarray | None = None,
 ) -> tuple:
     """One (image, category) matching pass.
 
@@ -67,8 +106,12 @@ def match_image(
     """
     d, g = len(dt_boxes), len(gt_boxes)
     t = len(iouv)
-    g_area = np.prod(np.clip(gt_boxes[:, 2:] - gt_boxes[:, :2], 0.0, None), -1) \
-        if g else np.zeros((0,))
+    if gt_areas is not None:
+        g_area = np.asarray(gt_areas, float).reshape(-1)
+    else:
+        g_area = np.prod(
+            np.clip(gt_boxes[:, 2:] - gt_boxes[:, :2], 0.0, None), -1
+        ) if g else np.zeros((0,))
     gt_ig = gt_crowd.astype(bool) | (g_area < area_rng[0]) | (g_area > area_rng[1])
     # visit non-ignored ground truths first (stable)
     g_order = np.argsort(gt_ig, kind="stable")
@@ -101,7 +144,12 @@ def match_image(
                 dt_ig_flag[ti, di] = gt_ig[m]
     # unmatched detections outside the area range are ignored
     if d:
-        d_area = np.prod(np.clip(dt_boxes[:, 2:] - dt_boxes[:, :2], 0.0, None), -1)
+        if dt_areas is not None:
+            d_area = np.asarray(dt_areas, float).reshape(-1)
+        else:
+            d_area = np.prod(
+                np.clip(dt_boxes[:, 2:] - dt_boxes[:, :2], 0.0, None), -1
+            )
         out = (d_area < area_rng[0]) | (d_area > area_rng[1])
         dt_ig_flag |= (dtm < 0) & out[None, :]
     return dtm >= 0, dt_ig_flag, gt_ig
@@ -113,15 +161,36 @@ def evaluate_coco(
     iouv: np.ndarray | None = None,
     max_dets: tuple = (1, 10, 100),
     area_names: tuple = ("all", "small", "medium", "large"),
+    iou_type: str = "bbox",
 ) -> dict:
     """Full COCO-style evaluation over the dataset.
+
+    iou_type="bbox" (default) matches on box IoU. iou_type="segm" matches on
+    MASK IoU with mask areas driving the area ranges (the reference's
+    CocoEvaluator segm dispatch, coco_eval.py:31-42 + its prepare_for_coco_
+    segmentation); each det tuple then carries masks as a 4th element and
+    each gt as a 4th element after iscrowd — an (n, H, W) bool array or a
+    list of COCO RLE dicts (dataprep.coco_dataset.rle_encode format).
 
     Returns the 12-number COCO summary plus the raw precision array
     ap[T, R, C, A, M] (R = 101 recall points), with -1 marking absent
     ground truth (excluded from means), exactly like COCOeval.accumulate.
     """
+    assert iou_type in ("bbox", "segm"), iou_type
     iouv = np.asarray(iouv if iouv is not None else np.round(
         np.linspace(0.5, 0.95, 10), 2))
+    if iou_type == "segm":
+        # decode every image's masks ONCE (shared across categories)
+        dt_masks_all = [
+            _as_mask_array(d[3] if len(d) > 3 else None,
+                           len(np.asarray(d[0]).reshape(-1)))
+            for d in dets
+        ]
+        gt_masks_all = [
+            _as_mask_array(g[3] if len(g) > 3 else None,
+                           len(np.asarray(g[0]).reshape(-1)))
+            for g in gts
+        ]
     cats = sorted(
         {int(c) for d in dets for c in np.asarray(d[0]).reshape(-1)}
         | {int(c) for g in gts for c in np.asarray(g[0]).reshape(-1)}
@@ -135,7 +204,9 @@ def evaluate_coco(
     for ci, cat in enumerate(cats):
         # per-image per-category slices, score-sorted, capped at max(max_dets)
         per_img = []
-        for d, g in zip(dets, gts):
+        areas_per_img = []  # (dt_areas, gt_areas) overrides; None for bbox
+        ious_per_img = []
+        for ii, (d, g) in enumerate(zip(dets, gts)):
             d_cls = np.asarray(d[0]).reshape(-1)
             d_box = np.asarray(d[1]).reshape(-1, 4)
             d_sc = np.asarray(d[2]).reshape(-1)
@@ -148,20 +219,32 @@ def evaluate_coco(
                 if len(g) > 2 else np.zeros(len(g_cls), bool)
             )
             gsel = g_cls == cat
-            per_img.append(
-                (d_box[sel][order], d_sc[sel][order], g_box[gsel], g_cr[gsel])
-            )
-        # IoU matrices do not depend on the area range — compute once per
-        # (image, category) and reuse across all four ranges (as COCOeval does)
-        ious_per_img = [
-            iou_xyxy(db, gb, gc) if len(db) and len(gb) else None
-            for db, _, gb, gc in per_img
-        ]
+            db, gb, gc = d_box[sel][order], g_box[gsel], g_cr[gsel]
+            per_img.append((db, d_sc[sel][order], gb, gc))
+            # IoU matrices do not depend on the area range — compute once per
+            # (image, category), reuse across all ranges (as COCOeval does)
+            if iou_type == "segm":
+                dm = dt_masks_all[ii][sel][order]
+                gm = gt_masks_all[ii][gsel]
+                areas_per_img.append(
+                    (dm.sum(axis=(1, 2)), gm.sum(axis=(1, 2)))
+                )
+                ious_per_img.append(
+                    mask_iou(dm, gm, gc) if len(dm) and len(gm) else None
+                )
+            else:
+                areas_per_img.append((None, None))
+                ious_per_img.append(
+                    iou_xyxy(db, gb, gc) if len(db) and len(gb) else None
+                )
         for ai, aname in enumerate(area_names):
             rng = AREA_RNG[aname]
             matched = [
-                match_image(db, gb, gc, iouv, rng, ious=iou)
-                for (db, ds, gb, gc), iou in zip(per_img, ious_per_img)
+                match_image(db, gb, gc, iouv, rng, ious=iou,
+                            dt_areas=da, gt_areas=ga)
+                for (db, ds, gb, gc), iou, (da, ga) in zip(
+                    per_img, ious_per_img, areas_per_img
+                )
             ]
             for mi, md in enumerate(max_dets):
                 scores = np.concatenate([ds[:md] for _, ds, _, _ in per_img])

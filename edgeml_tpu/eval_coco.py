@@ -37,22 +37,39 @@ COCO_IOUV = np.round(np.linspace(0.5, 0.95, 10), 2)
 class DetectionEvaluator:
     """Accumulate (detections, ground truth) per image; summarize dataset AP."""
 
-    def __init__(self, iouv=None, style: str = "greedy"):
+    def __init__(self, iouv=None, style: str = "greedy", iou_type: str = "bbox"):
         assert style in ("greedy", "coco"), style
+        assert iou_type in ("bbox", "segm"), iou_type
+        if iou_type == "segm" and style != "coco":
+            raise ValueError(
+                "segm evaluation runs through the COCOeval-parity path; "
+                "construct with style='coco'"
+            )
         self.iouv = np.asarray(iouv if iouv is not None else COCO_IOUV)
         self.style = style
-        self.dets = []  # per image: (cls (n,), xyxy (n, 4), conf (n,))
-        self.gts = []  # per image: (cls (m,), xyxy (m, 4)[, iscrowd (m,)])
+        self.iou_type = iou_type
+        self.dets = []  # per image: (cls (n,), xyxy (n, 4), conf (n,)[, masks])
+        self.gts = []  # per image: (cls (m,), xyxy (m, 4)[, iscrowd][, masks])
 
     def update(self, detections, ground_truths):
         """Add a batch. detections: iterable of (cls, boxes xyxy, conf);
         ground_truths: iterable of (cls, boxes xyxy) or (cls, boxes xyxy,
         iscrowd) — the crowd flag participates only in style="coco".
+        With iou_type="segm", detections carry a 4th element and ground
+        truths a 4th element after iscrowd: per-instance masks as an
+        (n, H, W) bool array or a list of COCO RLE dicts.
         Coordinates must share one frame; style="coco" area ranges assume
         pixels."""
+
+        def store(t, n_std):
+            t = tuple(t)
+            # masks may be RLE dict lists — keep payloads past the standard
+            # array fields untouched
+            return tuple(np.asarray(x) for x in t[:n_std]) + t[n_std:]
+
         for d, g in zip(detections, ground_truths):
-            self.dets.append(tuple(np.asarray(x) for x in d))
-            self.gts.append(tuple(np.asarray(x) for x in g))
+            self.dets.append(store(d, 3))
+            self.gts.append(store(g, 3))
 
     def synchronize_between_processes(self):
         """All-gather every process's accumulated images (ordered by process
@@ -111,7 +128,9 @@ class DetectionEvaluator:
     def _summarize_coco(self, verbose: bool) -> dict:
         from .coco_matching import evaluate_coco
 
-        result = evaluate_coco(self.dets, self.gts, iouv=self.iouv)
+        result = evaluate_coco(
+            self.dets, self.gts, iouv=self.iouv, iou_type=self.iou_type
+        )
         if verbose:
             self._print_summary(result)
             print(

@@ -161,3 +161,110 @@ def test_evaluator_style_dispatch():
     ev = DetectionEvaluator(style="greedy")
     ev.update(dets, [gts[0] + (np.array([0]),)])
     assert ev.summarize(verbose=False)["map"] == pytest.approx(greedy_map)
+
+
+# ---------------------------------------------------------------------------
+# segm IoU type (the reference CocoEvaluator's segm dispatch, coco_eval.py:31-42)
+# ---------------------------------------------------------------------------
+
+
+def rect_mask(h, w, x, y, bw, bh):
+    m = np.zeros((h, w), bool)
+    m[y : y + bh, x : x + bw] = True
+    return m
+
+
+def test_segm_equals_bbox_for_full_box_masks():
+    """Masks that exactly fill integer-aligned boxes: mask IoU == box IoU and
+    mask area == box area, so the full segm evaluation must reproduce bbox."""
+    H = W = 64
+    gb = [box(4, 4, 10, 10), box(30, 30, 8, 8)]
+    db = [box(4, 4, 10, 10), box(31, 31, 8, 8), box(50, 2, 6, 6)]
+    gts_m = np.stack([rect_mask(H, W, 4, 4, 10, 10), rect_mask(H, W, 30, 30, 8, 8)])
+    dts_m = np.stack(
+        [rect_mask(H, W, 4, 4, 10, 10), rect_mask(H, W, 31, 31, 8, 8),
+         rect_mask(H, W, 50, 2, 6, 6)]
+    )
+    cls_g = np.array([0, 1])
+    cls_d = np.array([0, 1, 1])
+    sc = np.array([0.9, 0.8, 0.7])
+    crowd = np.zeros(2, bool)
+
+    r_box = evaluate_coco(
+        [(cls_d, np.array(db), sc)], [(cls_g, np.array(gb), crowd)]
+    )
+    r_seg = evaluate_coco(
+        [(cls_d, np.array(db), sc, dts_m)],
+        [(cls_g, np.array(gb), crowd, gts_m)],
+        iou_type="segm",
+    )
+    for k in ("map", "map50", "map75", "mar_100", "map_small"):
+        assert r_seg[k] == pytest.approx(r_box[k], abs=1e-9), k
+
+
+def test_segm_mask_overrides_box():
+    """Same boxes, disjoint masks: bbox scores a TP, segm must score a FP."""
+    H = W = 32
+    b = box(0, 0, 16, 16)
+    gt_m = rect_mask(H, W, 0, 0, 16, 8)      # top half
+    dt_m = rect_mask(H, W, 0, 8, 16, 8)      # bottom half -> mask IoU 0
+    r = evaluate_coco(
+        [(np.array([0]), np.array([b]), np.array([0.9]), dt_m[None])],
+        [(np.array([0]), np.array([b]), np.zeros(1, bool), gt_m[None])],
+        iou_type="segm",
+    )
+    assert r["map50"] == pytest.approx(0.0)
+    r_box = evaluate_coco(
+        [(np.array([0]), np.array([b]), np.array([0.9]))],
+        [(np.array([0]), np.array([b]))],
+    )
+    assert r_box["map50"] == pytest.approx(1.0)
+
+
+def test_segm_area_ranges_use_mask_area():
+    """A gt whose BOX is large but whose MASK is small must count in the
+    'small' range under segm (area = pixel count, not box area)."""
+    H = W = 96
+    b = box(0, 0, 90, 90)  # box area 8100 -> 'large' by box
+    gt_m = rect_mask(H, W, 0, 0, 10, 10)  # 100 px -> 'small' by mask
+    dt_m = gt_m.copy()
+    r = evaluate_coco(
+        [(np.array([0]), np.array([b]), np.array([0.9]), dt_m[None])],
+        [(np.array([0]), np.array([b]), np.zeros(1, bool), gt_m[None])],
+        iou_type="segm",
+    )
+    assert r["map_small"] == pytest.approx(1.0)
+    assert np.isnan(r["map_large"])  # no large-mask ground truth
+
+
+def test_mask_iou_crowd_denominator():
+    from edgeml_tpu.coco_matching import mask_iou
+
+    dt = rect_mask(8, 8, 0, 0, 4, 4)[None]        # 16 px
+    gt = rect_mask(8, 8, 0, 0, 8, 8)[None]        # 64 px, contains dt
+    plain = mask_iou(dt, gt, np.zeros(1, bool))[0, 0]
+    crowd = mask_iou(dt, gt, np.ones(1, bool))[0, 0]
+    assert plain == pytest.approx(16 / 64)
+    assert crowd == pytest.approx(1.0)  # intersection / dt area
+
+
+def test_segm_accepts_rle_dicts_and_evaluator_wiring():
+    from edgeml_tpu.dataprep.coco_dataset import rle_encode
+
+    H = W = 24
+    gt_m = rect_mask(H, W, 2, 2, 10, 10)
+    dt_m = rect_mask(H, W, 2, 2, 10, 10)
+    ev = DetectionEvaluator(style="coco", iou_type="segm")
+    ev.update(
+        [(np.array([0]), np.array([box(2, 2, 10, 10)]), np.array([0.9]),
+          [rle_encode(dt_m)])],
+        [(np.array([0]), np.array([box(2, 2, 10, 10)]), np.zeros(1, bool),
+          [rle_encode(gt_m)])],
+    )
+    r = ev.summarize(verbose=False)
+    assert r["map"] == pytest.approx(1.0)
+
+
+def test_segm_requires_coco_style():
+    with pytest.raises(ValueError):
+        DetectionEvaluator(style="greedy", iou_type="segm")
