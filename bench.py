@@ -214,6 +214,57 @@ def run_yolo():
     return out
 
 
+def run_train():
+    """YOLOv5n 640 training-step throughput (fwd + bwd + SGD), f32 and bf16
+    (the AMP-equivalent path, models/train.py make_train_step dtype knob).
+    Same chained-launch methodology as run_yolo: the parameter state itself
+    is the chain — step i+1 consumes step i's updated params."""
+    import jax
+    import jax.numpy as jnp
+
+    from edgeml_tpu.models.train import TrainConfig, make_train_step
+    from edgeml_tpu.models.yolov5 import YoloV5
+    from edgeml_tpu.utils.synth import hash_uniform
+
+    b = int(os.environ.get("BENCH_TRAIN_BATCH", 64))
+    iters = int(os.environ.get("BENCH_TRAIN_ITERS", 8))
+    nt = 32
+    net = YoloV5(variant="n", num_classes=80, img_size=640)
+    params, stats = net.init(jax.random.PRNGKey(0))
+    cfg = TrainConfig()
+    tr = hash_uniform(123, (b, nt, 4)) * 0.4 + 0.2
+    targets = jnp.concatenate(
+        [jnp.zeros((b, nt, 1)), tr[..., :2], tr[..., 2:] * 0.3 + 0.05], axis=-1
+    )
+    tvalid = jnp.ones((b, nt), bool)
+
+    out = {}
+    for name, dt in (("f32", None), ("bf16", jnp.bfloat16)):
+        opt, step = make_train_step(net, cfg, dtype=dt)
+        opt_state = opt.init(params)
+
+        @jax.jit
+        def run_one(carry, seed, step=step):
+            p, s, o, acc = carry
+            imgs = hash_uniform(seed, (b, 640, 640, 3))
+            p, s, o, loss, _ = step(p, s, o, imgs, targets, tvalid, 0.001)
+            return (p, s, o, acc + loss)
+
+        carry = (params, stats, opt_state, jnp.zeros(()))
+        t0 = time.perf_counter()
+        carry = run_one(carry, 0)
+        jax.block_until_ready(carry)
+        log(f"train {name} warmup incl. compile: {time.perf_counter() - t0:.1f}s")
+        t0 = time.perf_counter()
+        for i in range(iters):
+            carry = run_one(carry, 1 + i)
+        jax.block_until_ready(carry)
+        ips = b * iters / (time.perf_counter() - t0)
+        log(f"yolov5n TRAIN {name} (B={b}): {ips:.0f} img/s")
+        out[name] = round(ips, 1)
+    return out
+
+
 def main():
     rng = np.random.default_rng(7)
     log(
@@ -226,6 +277,9 @@ def main():
     yolo = {}
     if os.environ.get("BENCH_SKIP_YOLO", "0") != "1":
         yolo = run_yolo()
+    train = {}
+    if os.environ.get("BENCH_SKIP_TRAIN", "0") != "1":
+        train = run_train()
     print(
         json.dumps(
             {
@@ -236,6 +290,8 @@ def main():
                 "yolov5n_infer_imgs_per_sec_f32": yolo.get("f32"),
                 "yolov5n_infer_imgs_per_sec_bf16": yolo.get("bf16"),
                 "yolov5n_infer_round1_imgs_per_sec": 300.0,
+                "yolov5n_train_imgs_per_sec_f32": train.get("f32"),
+                "yolov5n_train_imgs_per_sec_bf16": train.get("bf16"),
             }
         )
     )

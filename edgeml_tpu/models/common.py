@@ -113,22 +113,35 @@ def bn_init(c: int):
 
 
 def bn_apply(x, p, *, eps: float, momentum: float, train: bool):
-    """BatchNorm over NHWC (channel-last). Returns (y, updated_stats)."""
+    """BatchNorm over NHWC (channel-last). Returns (y, updated_stats).
+
+    Mixed-precision contract (the AMP-equivalent training path, reference
+    engine.py:27-33): batch statistics and the normalization itself are
+    computed in float32 regardless of x's dtype — running stats stay f32
+    across hundreds of epochs — and the OUTPUT is cast back to x.dtype so a
+    bfloat16 activation stream stays bfloat16 through the convs. For f32
+    inputs this is bit-identical to the plain formulation."""
+    xf = x.astype(jnp.float32)
     if train:
-        mean = jnp.mean(x, axis=(0, 1, 2))
-        var = jnp.var(x, axis=(0, 1, 2))
+        mean = jnp.mean(xf, axis=(0, 1, 2))
+        var = jnp.var(xf, axis=(0, 1, 2))
         n = x.size / mean.size
         unbiased = var * n / jnp.maximum(n - 1.0, 1.0)
         new = {
             "scale": p["scale"],
             "bias": p["bias"],
-            "mean": (1 - momentum) * p["mean"] + momentum * mean,
-            "var": (1 - momentum) * p["var"] + momentum * unbiased,
+            "mean": (1 - momentum) * jnp.asarray(p["mean"], jnp.float32)
+            + momentum * mean,
+            "var": (1 - momentum) * jnp.asarray(p["var"], jnp.float32)
+            + momentum * unbiased,
         }
     else:
         mean, var, new = p["mean"], p["var"], p
-    y = (x - mean) * jax.lax.rsqrt(var + eps)
-    return y * p["scale"] + p["bias"], new
+    y = (xf - mean) * jax.lax.rsqrt(
+        jnp.asarray(var, jnp.float32) + eps
+    )
+    y = y * p["scale"] + p["bias"]
+    return y.astype(x.dtype), new
 
 
 def silu(x):

@@ -63,17 +63,23 @@ def _to_xyxy_px(targets, size):
     return boxes, cls
 
 
-def make_family_train_step(net, cfg: TrainConfig):
+def make_family_train_step(net, cfg: TrainConfig, dtype=None):
     """(params, stats, opt_state, images, targets, valid, lr, key) ->
     (params, stats, opt_state, loss, parts). stats is None for frozen-BN
-    families and passed through untouched."""
+    families and passed through untouched.
+
+    dtype: optional AMP compute dtype (jnp.bfloat16) for the forward/backward
+    — the engine.py:27-43 autocast equivalent (see models/train.py amp_cast).
+    Supported for yolov5 / ssd / retinanet; Faster R-CNN's multi-stage loss
+    decodes boxes inside the jitted step and stays f32 (same policy as its
+    serving path, models/infer.py)."""
     opt = make_optimizer(cfg)
     kind = type(net).__name__
 
     if kind == "YoloV5":
         from .train import make_train_step
 
-        _, base = make_train_step(net, cfg)
+        _, base = make_train_step(net, cfg, dtype=dtype)
 
         def step(params, stats, opt_state, images, targets, valid, lr, key):
             del key
@@ -81,11 +87,13 @@ def make_family_train_step(net, cfg: TrainConfig):
 
         return opt, step
 
+    from .train import amp_cast
+
     if kind == "SSDLite":
         from .ssd_loss import ssd_loss
         from .ssdlite import default_boxes
 
-        anchors = jnp.asarray(default_boxes(net.image_size))
+        anchors = jnp.asarray(default_boxes(net.image_size, net.feature_sizes))
 
         @jax.jit
         def step(params, stats, opt_state, images, targets, valid, lr, key):
@@ -93,7 +101,10 @@ def make_family_train_step(net, cfg: TrainConfig):
             boxes, cls = _to_xyxy_px(targets, net.image_size)
 
             def lf(p):
-                (cl, rg), ns = net.apply(p, stats, images, train=True)
+                p_c = amp_cast(p, dtype)
+                x = images if dtype is None else images.astype(dtype)
+                (cl, rg), ns = net.apply(p_c, stats, x, train=True)
+                cl, rg = cl.astype(jnp.float32), rg.astype(jnp.float32)
                 total, parts = ssd_loss(net, cl, rg, anchors, boxes, cls, valid)
                 return total, (ns, parts)
 
@@ -115,7 +126,10 @@ def make_family_train_step(net, cfg: TrainConfig):
             boxes, cls = _to_xyxy_px(targets, net.image_size)
 
             def lf(p):
-                cl, rg = net.apply(p, images)
+                p_c = amp_cast(p, dtype)
+                x = images if dtype is None else images.astype(dtype)
+                cl, rg = net.apply(p_c, x)
+                cl, rg = cl.astype(jnp.float32), rg.astype(jnp.float32)
                 return retina_loss(net, cl, rg, anchors, boxes, cls, valid)
 
             (loss, parts), g = jax.value_and_grad(lf, has_aux=True)(params)
@@ -126,6 +140,11 @@ def make_family_train_step(net, cfg: TrainConfig):
         return opt, step
 
     if kind == "FasterRCNN":
+        if dtype is not None:
+            raise ValueError(
+                "AMP training is not supported for Faster R-CNN (multi-stage "
+                "box decode inside the loss stays f32)"
+            )
         from .faster_rcnn import rpn_anchors
         from .rcnn_loss import faster_rcnn_loss
 

@@ -180,7 +180,7 @@ def _detect_generic(net, params, stats, images, conf_thres, iou_thres,
             reg = reg.astype(jnp.float32)
         else:
             (cls_logits, reg), _ = net.apply(params, stats, images, train=False)
-        anchors = jnp.asarray(default_boxes(net.image_size))
+        anchors = jnp.asarray(default_boxes(net.image_size, net.feature_sizes))
         dets, valid = ssd_postprocess(
             net, cls_logits, reg, anchors,
             score_thresh=conf_thres, nms_thresh=iou_thres,

@@ -94,6 +94,17 @@ class SSDLite:
     def feature_channels(self):
         return (672, self.backbone.c5_channels, 512, 256, 256, 128)
 
+    @property
+    def feature_sizes(self):
+        """Per-level grid sizes for THIS image size (320 -> 20/10/5/3/2/1):
+        C4 at stride 16, C5 at stride 32, then each extra block's stride-2
+        conv (k=3, pad=1) halves with ceil. default_boxes must be built with
+        these, not the 320 defaults, for non-320 inputs."""
+        f = [-(-self.image_size // 16), -(-self.image_size // 32)]
+        for _ in range(4):
+            f.append(-(-f[-1] // 2))
+        return tuple(f)
+
     # ---- init ----------------------------------------------------------------
 
     def _convbn(self, key, k, cin, cout, groups=1):

@@ -75,16 +75,54 @@ def make_optimizer(cfg: TrainConfig):
     raise RuntimeError(f"Invalid optimizer {cfg.opt}. Only SGD and AdamW are supported.")
 
 
-def make_train_step(net: YoloV5, cfg: TrainConfig):
+def amp_cast(tree, dtype, keep=("m", "v")):
+    """Cast every float32 leaf of a param pytree to the AMP compute dtype,
+    EXCEPT leaves named in `keep` (frozen-BN running statistics — normalizing
+    with bf16-rounded variances would bake a systematic error into every
+    activation; the norm layers upcast them internally anyway).
+
+    dtype=None returns the tree unchanged. This is the parameter half of the
+    mixed-precision recipe (f32 master weights, low-precision compute) that
+    replaces the reference's torch.cuda.amp autocast+GradScaler
+    (/root/reference/torch_models/references/engine.py:27-43); bfloat16
+    shares float32's exponent range, so no loss scaler is needed.
+    """
+    if dtype is None:
+        return tree
+
+    def cast(path, a):
+        if getattr(a, "dtype", None) != jnp.float32:
+            return a
+        last = path[-1]
+        name = getattr(last, "key", getattr(last, "name", None))
+        if name in keep:
+            return a
+        return a.astype(dtype)
+
+    return jax.tree_util.tree_map_with_path(cast, tree)
+
+
+def make_train_step(net: YoloV5, cfg: TrainConfig, dtype=None):
     """Build the jitted training step: (params, stats, opt_state, batch, lr)
     -> (params, stats, opt_state, loss, parts). Shard `images`/`targets`
-    along their leading axis for data parallelism."""
+    along their leading axis for data parallelism.
+
+    dtype: optional AMP compute dtype (jnp.bfloat16). Master weights,
+    optimizer state, gradients, BN statistics, and the loss stay float32;
+    the forward/backward convolutions run in `dtype` (params and images are
+    cast inside loss_fn, so autodiff produces f32 gradients through the
+    cast). Head outputs are upcast before the loss. The reference equivalent
+    is engine.py:27-43's AMP-optional path."""
     opt = make_optimizer(cfg)
 
     @jax.jit
     def step(params, stats, opt_state, images, targets, target_valid, lr):
         def loss_fn(p):
-            heads, new_stats, _ = net.apply(p, stats, images, train=True)
+            p_c = amp_cast(p, dtype)
+            x = images if dtype is None else images.astype(dtype)
+            heads, new_stats, _ = net.apply(p_c, stats, x, train=True)
+            if dtype is not None:
+                heads = [h.astype(jnp.float32) for h in heads]
             total, parts = yolo_loss(net, heads, targets, target_valid)
             return total, (new_stats, parts)
 

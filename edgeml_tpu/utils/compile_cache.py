@@ -32,8 +32,15 @@ def enable_compilation_cache(path: str | None = None) -> str | None:
     :return: the cache dir in effect, or None if disabled.
     """
     global _enabled
+    explicit = path is not None or "EDGEML_COMPILE_CACHE" in os.environ
     path = path or os.environ.get("EDGEML_COMPILE_CACHE", _DEFAULT)
     if path == "off":
+        return None
+    if not explicit and os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        # CPU runs (tests) skip the cache by default: XLA:CPU AOT results
+        # embed exact machine features and the loader warns/SIGILL-risks on
+        # any mismatch, and CPU compiles are local anyway — the cache exists
+        # for the TPU remote-compile round trip (12-417 s observed).
         return None
     if _enabled:
         return path

@@ -1,7 +1,7 @@
 """YOLOv5n training-step throughput on TPU (fwd + bwd + SGD update).
 
-Chained launches, on-device synthetic images/targets, f32 (the training
-dtype). Usage: python tools/exp_train_tp.py [batch] [iters]
+Chained launches, on-device synthetic images/targets.
+Usage: python tools/exp_train_tp.py [batch] [iters] [f32|bf16]
 """
 
 import os
@@ -19,12 +19,13 @@ from edgeml_tpu.utils.synth import hash_uniform
 
 B = int(sys.argv[1]) if len(sys.argv) > 1 else 32
 ITERS = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+DTYPE = jnp.bfloat16 if (len(sys.argv) > 3 and sys.argv[3] == "bf16") else None
 NT = 32  # padded targets per image
 
 net = YoloV5(variant="n", num_classes=80, img_size=640)
 params, stats = net.init(jax.random.PRNGKey(0))
 cfg = TrainConfig()
-opt, step = make_train_step(net, cfg)
+opt, step = make_train_step(net, cfg, dtype=DTYPE)
 opt_state = opt.init(params)
 
 # fixed padded targets: (B, NT, 5) rows [cls, x, y, w, h] normalized

@@ -44,7 +44,7 @@ def _build_augment(name: str):
             RandomIoUCrop(),
             RandomHorizontalFlip(0.5),
         ])
-    raise ValueError(f"unknown --augment '{name}' (none | flip | ssd)")
+    raise ValueError(f"unknown --augment '{name}' (none | flip | ssd | yolo)")
 
 
 def main(opts):
@@ -74,7 +74,9 @@ def main(opts):
     net, params, stats = make_detector(opts.model, num_classes, opts.img_size)
     is_yolo = opts.model.startswith("yolov5")
     size = net.img_size if is_yolo else net.image_size
-    opt, step = make_family_train_step(net, cfg)
+    opt, step = make_family_train_step(
+        net, cfg, dtype=jnp.bfloat16 if getattr(opts, "bf16", False) else None
+    )
     opt_state = opt.init(params)
 
     if opts.resume:
@@ -124,7 +126,11 @@ def main(opts):
             [cls, (x1 + x2) / 2, (y1 + y2) / 2, x2 - x1, y2 - y1], 1
         ).astype(np.float32)
 
-    augment = _build_augment(getattr(opts, "augment", "none"))
+    yolo_aug = getattr(opts, "augment", "none") == "yolo"
+    if yolo_aug and not is_yolo:
+        raise SystemExit("--augment yolo is the YOLOv5 training recipe; "
+                         "use it with a yolov5* model")
+    augment = None if yolo_aug else _build_augment(getattr(opts, "augment", "none"))
     epoch_state = {"epoch": 0}  # read by loader threads between epochs
     file_index = {f: i for i, f in enumerate(files)}
     mean = np.array([0.485, 0.456, 0.406], np.float32)
@@ -157,6 +163,25 @@ def main(opts):
 
     def make_batch(items):
         """Decode thread: augment + preprocess images + remap labels + pad."""
+        if yolo_aug:
+            # the YOLOv5 recipe (mosaic-4 + scale/translate + HSV + flip):
+            # batch-level, since each output sample composites 4 source
+            # images (edgeml_tpu/data/yolo_aug.py; yolov5_scripts.md:9)
+            from edgeml_tpu.data.yolo_aug import yolo_augment_batch
+
+            ex = []
+            for f, im in items:
+                lab = raw_labels[file_index[f]]
+                cls, xyxy = lab if len(lab) else (
+                    np.zeros(0, np.float32), np.zeros((0, 4), np.float32)
+                )
+                ex.append((im, (cls, xyxy)))
+            lb, rows = yolo_augment_batch(
+                ex, size,
+                [opts.seed, epoch_state["epoch"], file_index[items[0][0]]],
+            )
+            targets, valid = pad_targets(rows, opts.max_targets)
+            return lb, targets, valid
         pairs = [example(file_index[f], im) for f, im in items]
         imgs = [im for im, _ in pairs]
         labs = [lab for _, lab in pairs]
@@ -268,10 +293,17 @@ def getargs():
     args.add_argument("--print-freq", default=100, type=int, help="log every N iterations")
     args.add_argument("--prefetch", default=2, type=int,
                       help="batches decoded ahead of the device (host RAM bound: prefetch+1 batches)")
-    args.add_argument("--augment", default="none", choices=["none", "flip", "ssd"],
-                      help="train-time augmentation: none (reference parity), flip, or the "
-                           "ssd preset (photometric + zoom-out + IoU crop + flip)")
+    args.add_argument("--augment", default="none",
+                      choices=["none", "flip", "ssd", "yolo"],
+                      help="train-time augmentation: none (reference parity), flip, the "
+                           "ssd preset (photometric + zoom-out + IoU crop + flip), or "
+                           "yolo (the ultralytics recipe: mosaic-4 + scale/translate "
+                           "affine + HSV jitter + flip; yolov5 models only)")
     args.add_argument("--seed", default=0, type=int, help="init/shuffle seed")
+    args.add_argument("--bf16", action="store_true",
+                      help="bfloat16 mixed-precision training (f32 master "
+                           "weights/optimizer/BN stats; the reference "
+                           "engine's --amp equivalent). yolov5/ssd/retinanet.")
     return args.parse_args()
 
 
