@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.nms import nms_split
+from ..ops.nms import nms_split_batch
 from .common import letterbox_batch
 from .yolov5 import STRIDES, YoloV5
 
@@ -28,37 +28,33 @@ from .yolov5 import STRIDES, YoloV5
 def _nms_unmap(obj, xywh, cls, meta, orig_hw, conf_thres, iou_thres,
                max_det, multi_label):
     """Batched NMS + letterbox unmap over split trunk outputs (the serial
-    VPU tail of the serving pipeline)."""
-
-    def one(obj_i, xywh_i, cls_i, m, hw):
-        dets, valid = nms_split(
-            obj_i, xywh_i, cls_i, conf_thres, iou_thres,
-            max_det=max_det, multi_label=multi_label,
-        )
-        r, dw, dh = m[0], m[1], m[2]
-        x1 = (dets[:, 0] - dw) / r
-        y1 = (dets[:, 1] - dh) / r
-        x2 = (dets[:, 2] - dw) / r
-        y2 = (dets[:, 3] - dh) / r
-        h, w = hw[0], hw[1]
-        x1 = jnp.clip(x1, 0, w)
-        x2 = jnp.clip(x2, 0, w)
-        y1 = jnp.clip(y1, 0, h)
-        y2 = jnp.clip(y2, 0, h)
-        out = jnp.stack(
-            [
-                dets[:, 5],
-                (x1 + x2) / 2.0 / w,
-                (y1 + y2) / 2.0 / h,
-                (x2 - x1) / w,
-                (y2 - y1) / h,
-                dets[:, 4],
-            ],
-            axis=1,
-        )
-        return out, valid
-
-    return jax.vmap(one)(obj, xywh, cls, meta, orig_hw)
+    VPU tail of the serving pipeline). The NMS runs through nms_split_batch
+    so its exact-fallback lax.cond sits ABOVE the image vmap (a per-image
+    cond would degrade to select and always execute both branches)."""
+    dets, valid = nms_split_batch(
+        obj, xywh, cls, conf_thres, iou_thres,
+        max_det=max_det, multi_label=multi_label,
+    )
+    r = meta[:, 0:1]
+    dw = meta[:, 1:2]
+    dh = meta[:, 2:3]
+    h, w = orig_hw[:, 0:1], orig_hw[:, 1:2]
+    x1 = jnp.clip((dets[:, :, 0] - dw) / r, 0, w)
+    y1 = jnp.clip((dets[:, :, 1] - dh) / r, 0, h)
+    x2 = jnp.clip((dets[:, :, 2] - dw) / r, 0, w)
+    y2 = jnp.clip((dets[:, :, 3] - dh) / r, 0, h)
+    out = jnp.stack(
+        [
+            dets[:, :, 5],
+            (x1 + x2) / 2.0 / w,
+            (y1 + y2) / 2.0 / h,
+            (x2 - x1) / w,
+            (y2 - y1) / h,
+            dets[:, :, 4],
+        ],
+        axis=2,
+    )
+    return out, valid
 
 
 @partial(
