@@ -25,15 +25,20 @@ from .common import letterbox_batch
 from .yolov5 import STRIDES, YoloV5
 
 
-def _nms_unmap(obj, xywh, cls, meta, orig_hw, conf_thres, iou_thres,
+def _nms_unmap(pred, meta, orig_hw, conf_thres, iou_thres,
                max_det, multi_label):
     """Batched NMS + letterbox unmap over split trunk outputs (the serial
     VPU tail of the serving pipeline). The NMS runs through nms_split_batch
     so its exact-fallback lax.cond sits ABOVE the image vmap (a per-image
-    cond would degrade to select and always execute both branches)."""
+    cond would degrade to select and always execute both branches).
+
+    pred: (obj, xywh, cls) from predict(), or the 4-tuple
+    (obj, xywh, cls_packed, best_cls) from predict(pack_cls=True)."""
+    obj, xywh, cls = pred[:3]
+    best_cls = pred[3] if len(pred) == 4 else None
     dets, valid = nms_split_batch(
         obj, xywh, cls, conf_thres, iou_thres,
-        max_det=max_det, multi_label=multi_label,
+        max_det=max_det, multi_label=multi_label, best_cls=best_cls,
     )
     r = meta[:, 0:1]
     dw = meta[:, 1:2]
@@ -83,8 +88,9 @@ def _detect_batch(
     Returns (dets (B, max_det, 6) rows [cls, x, y, w, h, conf] normalized to
     the ORIGINAL image size, valid (B, max_det)).
     """
-    obj, xywh, cls = net.predict(params, stats, images, dtype=dtype)
-    return _nms_unmap(obj, xywh, cls, meta, orig_hw, conf_thres, iou_thres,
+    pred = net.predict(params, stats, images, dtype=dtype,
+                       pack_cls=_packable(net, dtype, multi_label))
+    return _nms_unmap(pred, meta, orig_hw, conf_thres, iou_thres,
                       max_det, multi_label)
 
 
@@ -116,11 +122,21 @@ def _detect_pipe_step(
     Feed a zero carry first and one flush step last; results come out
     shifted by one batch.
     """
-    (pobj, pxywh, pcls), pmeta, phw = prev
-    new = net.predict(params, stats, images, dtype=dtype)
-    dets, valid = _nms_unmap(pobj, pxywh, pcls, pmeta, phw, conf_thres,
+    ppred, pmeta, phw = prev
+    new = net.predict(params, stats, images, dtype=dtype,
+                      pack_cls=_packable(net, dtype, multi_label))
+    dets, valid = _nms_unmap(ppred, pmeta, phw, conf_thres,
                              iou_thres, max_det, multi_label)
     return (new, meta, orig_hw), dets, valid
+
+
+def _packable(net, dtype, multi_label=True) -> bool:
+    """Whether the packed-cls serving layout applies (bf16, even nc,
+    multi-label pair selection)."""
+    return (
+        dtype == jnp.bfloat16 and net.num_classes % 2 == 0
+        and multi_label and net.num_classes > 1
+    )
 
 
 def _zero_carry(net: YoloV5, batch: int, size: int, dtype=None):
@@ -133,12 +149,21 @@ def _zero_carry(net: YoloV5, batch: int, size: int, dtype=None):
     """
     n = sum((size // s) ** 2 * net.na for s in STRIDES)
     sdt = jnp.float32 if dtype is None else dtype
-    return (
-        (
+    if _packable(net, dtype):
+        pred = (
+            jnp.zeros((batch, n), sdt),
+            jnp.zeros((batch, n, 4), jnp.float32),
+            jnp.zeros((batch, n, net.num_classes // 2), jnp.float32),
+            jnp.zeros((batch, n), sdt),
+        )
+    else:
+        pred = (
             jnp.zeros((batch, n), sdt),
             jnp.zeros((batch, n, 4), jnp.float32),
             jnp.zeros((batch, n, net.num_classes), sdt),
-        ),
+        )
+    return (
+        pred,
         jnp.zeros((batch, 3), jnp.float32).at[:, 0].set(1.0),
         jnp.ones((batch, 2), jnp.float32),
     )

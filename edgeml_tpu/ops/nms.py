@@ -248,32 +248,30 @@ def _gather_rows(box_pre, xywh, obj, cls):
     dynamic-gather lowering (measured: narrow gathers 57.4 ms vs HIGHEST
     one-hot 58.7 ms per 128-image batch).
 
-    The cls gather is PACKED when possible: TPU row-gather cost is budgeted
-    per ELEMENT (~1 cycle each, CLAUDE.md cost model), so bitcasting the
-    (N, nc) bf16 matrix to (N, nc/2) f32 halves the dominant gather of the
-    serving tail; the bitcast in/out is free under XLA fusion and moves bits
-    untouched (bit-exact)."""
-    return xywh[box_pre], obj[box_pre], _gather_cls(cls, box_pre)
+    Packing note: bitcasting the (N, nc) bf16 matrix to (N, nc/2) f32 HERE
+    measured 5 ms SLOWER at B=128 (tools/exp_tail3.py) — the standalone
+    repack materializes a second full-size tensor. Packing only pays when
+    the matrix is EMITTED packed by the trunk (YoloV5.predict pack_cls),
+    where the bitcast replaces the existing concat materialization; see
+    _unpack_cls_rows."""
+    return xywh[box_pre], obj[box_pre], cls[box_pre]
 
 
-def _gather_cls(cls, box_pre):
-    n, nc = cls.shape
-    if cls.dtype == jnp.bfloat16 and nc % 2 == 0:
-        packed = jax.lax.bitcast_convert_type(
-            cls.reshape(n, nc // 2, 2), jnp.float32
-        )
-        rows = packed[box_pre]
-        return jax.lax.bitcast_convert_type(rows, jnp.bfloat16).reshape(
-            -1, nc
-        )
-    return cls[box_pre]
+def _unpack_cls_rows(rows_packed):
+    """(kb, nc/2) f32 gathered rows -> (kb, nc) bf16 (bit-exact unpack of
+    YoloV5.predict(pack_cls=True)'s layout)."""
+    kb = rows_packed.shape[0]
+    return jax.lax.bitcast_convert_type(rows_packed, jnp.bfloat16).reshape(
+        kb, -1
+    )
 
 
 PAIR_T = 8  # per-box class candidates for tail (non-head) boxes
 PAIR_B1 = 128  # head boxes whose FULL class rows enter the pool
 
 
-def _select_pairs_fast(o, x, c, conf_thres, max_cand, t_rows, k):
+def _select_pairs_fast(o, x, c, conf_thres, max_cand, t_rows, k,
+                       best_cls=None):
     """Per-image fast pair selection: box prefilter by best-pair confidence
     (exact, as in nms_split), then rank a TWO-TIER pool instead of all
     kb*nc pairs:
@@ -298,17 +296,26 @@ def _select_pairs_fast(o, x, c, conf_thres, max_cand, t_rows, k):
     top_k keeps ascending column order on ties, so equal values resolve
     (row, col)-lexicographically either way.
 
+    With `best_cls` given, `c` is the PACKED (N, nc/2) f32 layout emitted by
+    YoloV5.predict(pack_cls=True): the per-box class max comes precomputed
+    from the trunk (fused into the head epilogue), the row gather — the
+    dominant tail cost, budgeted per element — touches half the elements,
+    and rows unpack bit-exactly after the gather.
+
     Returns (top_scores (k,), row (k,), col (k,), masked (kb, nc),
     xywh_pre (kb, 4), ok scalar bool).
     """
-    n, nc = c.shape
+    n = c.shape[0]
+    nc = c.shape[1] * 2 if best_cls is not None else c.shape[1]
     kb = min(max_cand, n)
     b1 = min(PAIR_B1, kb)
-    best = jnp.max(c, axis=1) * o
+    best = (jnp.max(c, axis=1) if best_cls is None else best_cls) * o
     box_score = jnp.where((o > conf_thres) & (best > conf_thres), best, -1.0)
     best_top, box_pre = topk1d(box_score, kb,
                                chunk=n if n <= 25600 else 10240)
     xywh_pre, obj_pre, cls_rows = _gather_rows(box_pre, x, o, c)
+    if best_cls is not None:
+        cls_rows = _unpack_cls_rows(cls_rows)
     cls_conf = cls_rows * obj_pre[:, None]
     masked = jnp.where(
         (best_top[:, None] > 0) & (cls_conf > conf_thres), cls_conf, -1.0
@@ -355,12 +362,13 @@ def _select_pairs_fast(o, x, c, conf_thres, max_cand, t_rows, k):
 def nms_split_batch(
     obj: jax.Array,  # (B, N)
     xywh: jax.Array,  # (B, N, 4)
-    cls: jax.Array,  # (B, N, nc)
+    cls: jax.Array,  # (B, N, nc) — or (B, N, nc/2) f32 packed (see best_cls)
     conf_thres: float = 0.001,
     iou_thres: float = 0.6,
     max_det: int = 300,
     max_cand: int = 1024,
     multi_label: bool = True,
+    best_cls: jax.Array | None = None,  # (B, N) per-box max class prob
 ) -> tuple:
     """Batched nms_split with the fast pair-selection pool.
 
@@ -369,14 +377,24 @@ def nms_split_batch(
     one batch-level lax.cond re-ranks all pairs exactly (the cond sits above
     the vmap, so the slow branch is genuinely not executed on the fast path
     — under vmap a cond would degrade to select and run both).
+
+    best_cls marks the packed-cls layout (YoloV5.predict pack_cls=True):
+    cls is then (B, N, nc/2) float32 holding bf16 pairs and requires
+    multi_label.
     """
     b, n = obj.shape
-    nc = cls.shape[-1]
+    nc = cls.shape[-1] * 2 if best_cls is not None else cls.shape[-1]
+    if best_cls is not None and not (multi_label and nc > 1):
+        raise ValueError("packed cls requires the multi-label path")
     if multi_label and nc > 1:
         t_rows = min(PAIR_T, nc)
         kb = min(max_cand, n)
         k = min(max_cand, kb * nc)
         top_scores, row, col, masked, xywh_pre, ok = jax.vmap(
+            lambda o, x, c, bc: _select_pairs_fast(
+                o, x, c, conf_thres, max_cand, t_rows, k, best_cls=bc
+            )
+        )(obj, xywh, cls, best_cls) if best_cls is not None else jax.vmap(
             lambda o, x, c: _select_pairs_fast(
                 o, x, c, conf_thres, max_cand, t_rows, k
             )

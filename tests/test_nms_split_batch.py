@@ -104,19 +104,6 @@ def test_single_label_path():
     np.testing.assert_array_equal(np.asarray(d_got), np.asarray(d_ref))
 
 
-def test_bf16_packed_gather_matches_unpacked():
-    """The bitcast-packed cls gather moves bits untouched."""
-    from edgeml_tpu.ops.nms import _gather_cls
-
-    rng = np.random.default_rng(3)
-    cls = jnp.asarray(rng.random((300, 80)).astype(np.float32), jnp.bfloat16)
-    idx = jnp.asarray(rng.integers(0, 300, 64))
-    np.testing.assert_array_equal(
-        np.asarray(_gather_cls(cls, idx), np.float32),
-        np.asarray(cls[idx], np.float32),
-    )
-
-
 def test_bf16_batch_matches_vmap():
     rng = np.random.default_rng(4)
     obj, xywh, cls = make_case(rng, 2, 800, 80)
@@ -126,3 +113,58 @@ def test_bf16_batch_matches_vmap():
     d_got, v_got = nms_split_batch(obj16, xywh, cls16, **kw)
     np.testing.assert_array_equal(np.asarray(v_got), np.asarray(v_ref))
     np.testing.assert_array_equal(np.asarray(d_got), np.asarray(d_ref))
+
+
+def test_packed_predict_layout_bit_exact():
+    """predict(pack_cls=True): unpacking the packed cls reproduces the bf16
+    cls bit-for-bit, best_cls is the per-box max, and the packed serving
+    pipeline (_detect_batch) returns identical detections."""
+    from edgeml_tpu.models.infer import _detect_batch
+    from edgeml_tpu.models.yolov5 import YoloV5
+    from edgeml_tpu.ops.nms import _unpack_cls_rows
+
+    net = YoloV5(variant="n", num_classes=8, img_size=64)
+    params, stats = net.init(jax.random.PRNGKey(0))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 64, 64, 3))
+    o1, w1, c1 = net.predict(params, stats, x, dtype=jnp.bfloat16)
+    o2, w2, cp, best = net.predict(
+        params, stats, x, dtype=jnp.bfloat16, pack_cls=True
+    )
+    np.testing.assert_array_equal(np.asarray(o1, np.float32),
+                                  np.asarray(o2, np.float32))
+    np.testing.assert_array_equal(np.asarray(w1), np.asarray(w2))
+    unpacked = jax.vmap(_unpack_cls_rows)(cp)
+    np.testing.assert_array_equal(np.asarray(c1, np.float32),
+                                  np.asarray(unpacked, np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(jnp.max(c1, axis=-1), np.float32),
+        np.asarray(best, np.float32),
+    )
+
+    # packed vs unpacked full pipeline: identical detections
+    meta = jnp.tile(jnp.asarray([[1.0, 0.0, 0.0]]), (2, 1))
+    hw = jnp.tile(jnp.asarray([[64.0, 64.0]]), (2, 1))
+    d_pack, v_pack = _detect_batch(
+        net, params, stats, x, meta, hw, 1e-4, 0.6, dtype=jnp.bfloat16
+    )
+    from edgeml_tpu.models.infer import _nms_unmap
+
+    d_ref, v_ref = _nms_unmap(
+        (o1, w1, c1), meta, hw, 1e-4, 0.6, 300, True
+    )
+    np.testing.assert_array_equal(np.asarray(v_pack), np.asarray(v_ref))
+    np.testing.assert_array_equal(np.asarray(d_pack), np.asarray(d_ref))
+
+
+def test_pack_cls_rejects_bad_config():
+    from edgeml_tpu.models.yolov5 import YoloV5
+
+    net = YoloV5(variant="n", num_classes=8, img_size=64)
+    params, stats = net.init(jax.random.PRNGKey(0))
+    x = jnp.zeros((1, 64, 64, 3))
+    with pytest.raises(ValueError):
+        net.predict(params, stats, x, pack_cls=True)  # f32
+    odd = YoloV5(variant="n", num_classes=7, img_size=64)
+    p2, s2 = odd.init(jax.random.PRNGKey(0))
+    with pytest.raises(ValueError):
+        odd.predict(p2, s2, x, dtype=jnp.bfloat16, pack_cls=True)
