@@ -189,17 +189,21 @@ def run_yolo():
     out = {}
     for name, dt in (("f32", None), ("bf16", jnp.bfloat16)):
         # the production serving loop: software-pipelined steps (this
-        # batch's trunk + previous batch's NMS tail in one program)
+        # batch's trunk + previous batch's NMS tail in one program). The
+        # step's NMS is the fast pair-selection pool; its exactness-
+        # certificate flag is accumulated and asserted after timing (the
+        # host-fallback path of run_detection, which this loop mirrors,
+        # fires only when the certificate fails).
         @jax.jit
         def step(carry, seed, dt=dt):
-            prev, acc = carry
+            prev, acc, okacc = carry
             imgs = fresh_images(seed)
-            nxt, d, v = _detect_pipe_step(
+            nxt, d, v, ok = _detect_pipe_step(
                 net, params, stats, prev, imgs, meta, hw, 1e-5, 0.6, dtype=dt
             )
-            return (nxt, acc + d.sum())
+            return (nxt, acc + d.sum(), okacc & ok)
 
-        zero = (_zero_carry(net, b, 640, dt), jnp.zeros(()))
+        zero = (_zero_carry(net, b, 640, dt), jnp.zeros(()), jnp.asarray(True))
         t0 = time.perf_counter()
         carry = step(zero, 0)
         jax.block_until_ready(carry)
@@ -209,8 +213,11 @@ def run_yolo():
             carry = step(carry, 1 + i)
         jax.block_until_ready(carry)
         ips = b * iters / (time.perf_counter() - t0)
-        log(f"yolov5n inference {name} (B={b}): {ips:.0f} img/s")
+        exact = bool(carry[2])
+        log(f"yolov5n inference {name} (B={b}): {ips:.0f} img/s "
+            f"(fast-pool exact certificate: {exact})")
         out[name] = round(ips, 1)
+        out[name + "_exact"] = exact
     return out
 
 

@@ -26,20 +26,22 @@ from .yolov5 import STRIDES, YoloV5
 
 
 def _nms_unmap(pred, meta, orig_hw, conf_thres, iou_thres,
-               max_det, multi_label):
+               max_det, multi_label, fallback="cond"):
     """Batched NMS + letterbox unmap over split trunk outputs (the serial
-    VPU tail of the serving pipeline). The NMS runs through nms_split_batch
-    so its exact-fallback lax.cond sits ABOVE the image vmap (a per-image
-    cond would degrade to select and always execute both branches).
+    VPU tail of the serving pipeline). The NMS runs through nms_split_batch;
+    fallback="cond" is exact in-program, fallback="flag" returns an extra
+    `ok` scalar and leaves the rare exact re-run to the host (see
+    run_detection) — an in-program lax.cond costs ~8 ms/128-batch even when
+    the fast branch is taken.
 
-    pred: (obj, xywh, cls) from predict(), or the 4-tuple
-    (obj, xywh, cls_packed, best_cls) from predict(pack_cls=True)."""
-    obj, xywh, cls = pred[:3]
-    best_cls = pred[3] if len(pred) == 4 else None
-    dets, valid = nms_split_batch(
+    pred: (obj, xywh, cls) from predict()."""
+    obj, xywh, cls = pred
+    nms_out = nms_split_batch(
         obj, xywh, cls, conf_thres, iou_thres,
-        max_det=max_det, multi_label=multi_label, best_cls=best_cls,
+        max_det=max_det, multi_label=multi_label, fallback=fallback,
     )
+    dets, valid = nms_out[:2]
+    out_extra = nms_out[2:]  # (ok,) in flag mode
     r = meta[:, 0:1]
     dw = meta[:, 1:2]
     dh = meta[:, 2:3]
@@ -59,6 +61,8 @@ def _nms_unmap(pred, meta, orig_hw, conf_thres, iou_thres,
         ],
         axis=2,
     )
+    if fallback == "flag":
+        return out, valid, out_extra[0]
     return out, valid
 
 
@@ -88,8 +92,7 @@ def _detect_batch(
     Returns (dets (B, max_det, 6) rows [cls, x, y, w, h, conf] normalized to
     the ORIGINAL image size, valid (B, max_det)).
     """
-    pred = net.predict(params, stats, images, dtype=dtype,
-                       pack_cls=_packable(net, dtype, multi_label))
+    pred = net.predict(params, stats, images, dtype=dtype)
     return _nms_unmap(pred, meta, orig_hw, conf_thres, iou_thres,
                       max_det, multi_label)
 
@@ -118,25 +121,28 @@ def _detect_pipe_step(
     (gathers/top-k run at ~1 element/cycle on TPU; measured ~7% end-to-end
     win at B=128, tools/exp_pipeline.py).
 
-    Returns (carry for the next step, dets of the previous batch, valid).
-    Feed a zero carry first and one flush step last; results come out
-    shifted by one batch.
+    Returns (carry for the next step, dets of the previous batch, valid,
+    ok) — ok is the exactness-certificate flag of the previous batch's fast
+    pair selection (ops/nms.py nms_split_batch fallback="flag"): on the
+    rare False, redo that batch with exact_redo (host-side, off the hot
+    path). Feed a zero carry first and one flush step last; results come
+    out shifted by one batch.
     """
     ppred, pmeta, phw = prev
-    new = net.predict(params, stats, images, dtype=dtype,
-                      pack_cls=_packable(net, dtype, multi_label))
-    dets, valid = _nms_unmap(ppred, pmeta, phw, conf_thres,
-                             iou_thres, max_det, multi_label)
-    return (new, meta, orig_hw), dets, valid
+    new = net.predict(params, stats, images, dtype=dtype)
+    dets, valid, ok = _nms_unmap(ppred, pmeta, phw, conf_thres,
+                                 iou_thres, max_det, multi_label,
+                                 fallback="flag")
+    return (new, meta, orig_hw), dets, valid, ok
 
 
-def _packable(net, dtype, multi_label=True) -> bool:
-    """Whether the packed-cls serving layout applies (bf16, even nc,
-    multi-label pair selection)."""
-    return (
-        dtype == jnp.bfloat16 and net.num_classes % 2 == 0
-        and multi_label and net.num_classes > 1
-    )
+def exact_redo(prev, conf_thres, iou_thres, max_det=300, multi_label=True):
+    """Host-side exact re-run for a batch whose fast-selection certificate
+    failed: the same NMS tail with the in-program exact fallback. prev =
+    (pred, meta, orig_hw) as carried by _detect_pipe_step."""
+    ppred, pmeta, phw = prev
+    return _nms_unmap(ppred, pmeta, phw, conf_thres, iou_thres,
+                      max_det, multi_label, fallback="cond")
 
 
 def _zero_carry(net: YoloV5, batch: int, size: int, dtype=None):
@@ -149,21 +155,12 @@ def _zero_carry(net: YoloV5, batch: int, size: int, dtype=None):
     """
     n = sum((size // s) ** 2 * net.na for s in STRIDES)
     sdt = jnp.float32 if dtype is None else dtype
-    if _packable(net, dtype):
-        pred = (
-            jnp.zeros((batch, n), sdt),
-            jnp.zeros((batch, n, 4), jnp.float32),
-            jnp.zeros((batch, n, net.num_classes // 2), jnp.float32),
-            jnp.zeros((batch, n), sdt),
-        )
-    else:
-        pred = (
+    return (
+        (
             jnp.zeros((batch, n), sdt),
             jnp.zeros((batch, n, 4), jnp.float32),
             jnp.zeros((batch, n, net.num_classes), sdt),
-        )
-    return (
-        pred,
+        ),
         jnp.zeros((batch, 3), jnp.float32).at[:, 0].set(1.0),
         jnp.ones((batch, 2), jnp.float32),
     )
@@ -336,30 +333,41 @@ def run_detection(
         # Software-pipelined serving loop: each step runs this batch's trunk
         # and the previous batch's NMS tail in one program (_detect_pipe_step);
         # results stream out shifted by one batch, with a zero-image flush
-        # step at the end. File outputs are identical to the unpipelined path.
+        # step at the end. File outputs are identical to the unpipelined path:
+        # the step's NMS uses the fast pair-selection pool and returns its
+        # exactness-certificate flag; on the rare False the batch is redone
+        # with the exact program host-side (the in-program lax.cond fallback
+        # costs ~8 ms/batch even when never taken — tools/exp_tail4.py).
         carry = jax.tree_util.tree_map(
             place, _zero_carry(net, batch_size, size, dtype)
         )
         pending = None  # chunk whose detections are still on device
+
+        def save_exact(chunk_names, dets, valid, ok, held):
+            if not bool(ok):  # certificate failed: exact host-side redo
+                dets, valid = exact_redo(held, conf_thres, iou_thres)
+            save_batch(chunk_names, dets, valid)
+
         for chunk_names, arr, meta, hw in iter_batches(
             img_dir, names, batch_size, make_batch
         ):
-            carry, dets, valid = _detect_pipe_step(
+            next_carry, dets, valid, ok = _detect_pipe_step(
                 net, params, stats, carry, place(arr),
                 place(meta), place(hw), conf_thres, iou_thres, dtype=dtype,
             )
             if pending is not None:
-                save_batch(pending, dets, valid)
+                save_exact(pending, dets, valid, ok, carry)
             pending = chunk_names
+            carry = next_carry
         if pending is not None:
             zero = _zero_carry(net, batch_size, size)
-            _, dets, valid = _detect_pipe_step(
+            _, dets, valid, ok = _detect_pipe_step(
                 net, params, stats, carry,
                 place(jnp.zeros((batch_size, size, size, 3), jnp.float32)),
                 place(zero[1]), place(zero[2]), conf_thres, iou_thres,
                 dtype=dtype,
             )
-            save_batch(pending, dets, valid)
+            save_exact(pending, dets, valid, ok, carry)
     else:
         for chunk_names, arr, _meta, hw in iter_batches(
             img_dir, names, batch_size, make_batch

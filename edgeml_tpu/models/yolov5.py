@@ -291,7 +291,7 @@ class YoloV5:
             heads.append(h.reshape(b, hh, ww, self.na, self.no))
         return heads, new_stats, tap_out
 
-    def predict(self, params, stats, x, *, dtype=None, pack_cls=False):
+    def predict(self, params, stats, x, *, dtype=None):
         """Serving path: trunk + SPLIT head convs + anchor decode, returning
         contiguous per-component arrays
 
@@ -299,15 +299,12 @@ class YoloV5:
 
         N = sum over levels of H*W*na, row order identical to decode().
 
-        pack_cls (requires dtype=bfloat16 and even nc): emit cls PACKED as
-        (B, N, nc/2) float32 — adjacent bf16 class pairs bitcast into one
-        f32 lane — plus a 4th output best_cls (B, N), the per-box max class
-        probability. The bitcast replaces the concat materialization (same
-        bytes), and the NMS row gather, budgeted per ELEMENT on TPU, then
-        touches half the elements; the per-box max is fused into the head
-        epilogue here because the packed layout can't provide it downstream.
-        ops/nms.py nms_split_batch(best_cls=...) consumes this layout
-        bit-exactly.
+        Measured negative result (round 3): emitting cls pre-packed as f32
+        bf16-pairs (bitcast in the head epilogue, to halve the NMS row-gather
+        elements) cost +4.6 ms/128-batch in the trunk — the per-level max and
+        bitcast do not fuse into the head convs — while the packed gather
+        saved nothing (tools/exp_tail4.py); the plain layout below is the
+        fast one.
 
         TPU rationale: decode()'s (B, N, 85) concat puts obj/cls behind a
         stride-85 minor-dim slice, which on tiled TPU layouts costs more than
@@ -323,8 +320,6 @@ class YoloV5:
         speed/accuracy knob with no exactness contract vs the f32 path). The
         f32 default is bit-identical to apply + decode.
         """
-        if pack_cls and (dtype != jnp.bfloat16 or self.num_classes % 2):
-            raise ValueError("pack_cls requires dtype=bfloat16 and even nc")
         hdtype = jnp.float32 if dtype is None else dtype
         if dtype is not None:
             cast = lambda t: jax.tree_util.tree_map(
@@ -335,7 +330,7 @@ class YoloV5:
         else:
             feats, _, _ = self._trunk(params, stats, x, False)
         na, no, nc = self.na, self.no, self.num_classes
-        objs, xywhs, clss, bests = [], [], [], []
+        objs, xywhs, clss = [], [], []
         for f, p, stride, anchors in zip(
             feats, params["detect"], STRIDES, self.anchors
         ):
@@ -359,21 +354,12 @@ class YoloV5:
             wh = (swh * 2.0) ** 2 * anc[None, None, :, :]
             objs.append(jax.nn.sigmoid(h_obj).reshape(b, -1))
             xywhs.append(jnp.concatenate([xy, wh], -1).reshape(b, -1, 4))
-            c = jax.nn.sigmoid(h_cls).reshape(b, -1, nc)
-            if pack_cls:
-                bests.append(jnp.max(c, axis=-1))
-                c = jax.lax.bitcast_convert_type(
-                    c.reshape(b, c.shape[1], nc // 2, 2), jnp.float32
-                )
-            clss.append(c)
-        out = (
+            clss.append(jax.nn.sigmoid(h_cls).reshape(b, -1, nc))
+        return (
             jnp.concatenate(objs, 1),
             jnp.concatenate(xywhs, 1),
             jnp.concatenate(clss, 1),
         )
-        if pack_cls:
-            return out + (jnp.concatenate(bests, 1),)
-        return out
 
     def decode(self, heads):
         """Anchor decode: raw heads -> (B, total, no) with pixel xywh boxes.

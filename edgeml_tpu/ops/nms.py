@@ -248,30 +248,20 @@ def _gather_rows(box_pre, xywh, obj, cls):
     dynamic-gather lowering (measured: narrow gathers 57.4 ms vs HIGHEST
     one-hot 58.7 ms per 128-image batch).
 
-    Packing note: bitcasting the (N, nc) bf16 matrix to (N, nc/2) f32 HERE
-    measured 5 ms SLOWER at B=128 (tools/exp_tail3.py) — the standalone
-    repack materializes a second full-size tensor. Packing only pays when
-    the matrix is EMITTED packed by the trunk (YoloV5.predict pack_cls),
-    where the bitcast replaces the existing concat materialization; see
-    _unpack_cls_rows."""
+    Packing note (measured negative results, tools/exp_tail3/4.py at B=128):
+    bitcasting the (N, nc) bf16 matrix to (N, nc/2) f32 HERE is 5 ms SLOWER
+    (the standalone repack materializes a second full-size tensor), and
+    emitting the packed layout from the trunk instead cost +4.6 ms there
+    while the 40-wide f32 gather saved nothing over the 80-wide bf16 one.
+    Plain narrow gathers are the fast path."""
     return xywh[box_pre], obj[box_pre], cls[box_pre]
-
-
-def _unpack_cls_rows(rows_packed):
-    """(kb, nc/2) f32 gathered rows -> (kb, nc) bf16 (bit-exact unpack of
-    YoloV5.predict(pack_cls=True)'s layout)."""
-    kb = rows_packed.shape[0]
-    return jax.lax.bitcast_convert_type(rows_packed, jnp.bfloat16).reshape(
-        kb, -1
-    )
 
 
 PAIR_T = 8  # per-box class candidates for tail (non-head) boxes
 PAIR_B1 = 128  # head boxes whose FULL class rows enter the pool
 
 
-def _select_pairs_fast(o, x, c, conf_thres, max_cand, t_rows, k,
-                       best_cls=None):
+def _select_pairs_fast(o, x, c, conf_thres, max_cand, t_rows, k):
     """Per-image fast pair selection: box prefilter by best-pair confidence
     (exact, as in nms_split), then rank a TWO-TIER pool instead of all
     kb*nc pairs:
@@ -296,26 +286,17 @@ def _select_pairs_fast(o, x, c, conf_thres, max_cand, t_rows, k,
     top_k keeps ascending column order on ties, so equal values resolve
     (row, col)-lexicographically either way.
 
-    With `best_cls` given, `c` is the PACKED (N, nc/2) f32 layout emitted by
-    YoloV5.predict(pack_cls=True): the per-box class max comes precomputed
-    from the trunk (fused into the head epilogue), the row gather — the
-    dominant tail cost, budgeted per element — touches half the elements,
-    and rows unpack bit-exactly after the gather.
-
     Returns (top_scores (k,), row (k,), col (k,), masked (kb, nc),
     xywh_pre (kb, 4), ok scalar bool).
     """
-    n = c.shape[0]
-    nc = c.shape[1] * 2 if best_cls is not None else c.shape[1]
+    n, nc = c.shape
     kb = min(max_cand, n)
     b1 = min(PAIR_B1, kb)
-    best = (jnp.max(c, axis=1) if best_cls is None else best_cls) * o
+    best = jnp.max(c, axis=1) * o
     box_score = jnp.where((o > conf_thres) & (best > conf_thres), best, -1.0)
     best_top, box_pre = topk1d(box_score, kb,
                                chunk=n if n <= 25600 else 10240)
     xywh_pre, obj_pre, cls_rows = _gather_rows(box_pre, x, o, c)
-    if best_cls is not None:
-        cls_rows = _unpack_cls_rows(cls_rows)
     cls_conf = cls_rows * obj_pre[:, None]
     masked = jnp.where(
         (best_top[:, None] > 0) & (cls_conf > conf_thres), cls_conf, -1.0
@@ -357,44 +338,43 @@ def _select_pairs_fast(o, x, c, conf_thres, max_cand, t_rows, k,
 
 @partial(
     jax.jit,
-    static_argnames=("max_det", "max_cand", "multi_label", "iou_thres"),
+    static_argnames=("max_det", "max_cand", "multi_label", "iou_thres",
+                     "fallback"),
 )
 def nms_split_batch(
     obj: jax.Array,  # (B, N)
     xywh: jax.Array,  # (B, N, 4)
-    cls: jax.Array,  # (B, N, nc) — or (B, N, nc/2) f32 packed (see best_cls)
+    cls: jax.Array,  # (B, N, nc)
     conf_thres: float = 0.001,
     iou_thres: float = 0.6,
     max_det: int = 300,
     max_cand: int = 1024,
     multi_label: bool = True,
-    best_cls: jax.Array | None = None,  # (B, N) per-box max class prob
+    fallback: str = "cond",
 ) -> tuple:
     """Batched nms_split with the fast pair-selection pool.
 
-    Identical results to vmap(nms_split): the per-row pool is used only when
-    its exactness certificate holds for EVERY image in the batch; otherwise
-    one batch-level lax.cond re-ranks all pairs exactly (the cond sits above
-    the vmap, so the slow branch is genuinely not executed on the fast path
-    — under vmap a cond would degrade to select and run both).
+    fallback="cond" (default): identical results to vmap(nms_split) — the
+    fast pool is used only when its exactness certificate holds for EVERY
+    image in the batch; otherwise one batch-level lax.cond re-ranks all
+    pairs exactly. The cond sits above the vmap (a per-image cond would
+    degrade to select and run both branches), but an XLA conditional is a
+    scheduling barrier costing ~8 ms per 128-batch EVEN on the fast branch
+    (tools/exp_tail4.py), so the hot serving loop uses:
 
-    best_cls marks the packed-cls layout (YoloV5.predict pack_cls=True):
-    cls is then (B, N, nc/2) float32 holding bf16 pairs and requires
-    multi_label.
+    fallback="flag": returns (dets, valid, ok) where ok is a scalar bool —
+    True means the results are exact; False means the caller must redo this
+    batch with fallback="cond" (models/infer.py run_detection does this
+    host-side, off the hot path).
     """
     b, n = obj.shape
-    nc = cls.shape[-1] * 2 if best_cls is not None else cls.shape[-1]
-    if best_cls is not None and not (multi_label and nc > 1):
-        raise ValueError("packed cls requires the multi-label path")
+    nc = cls.shape[-1]
+    assert fallback in ("cond", "flag"), fallback
     if multi_label and nc > 1:
         t_rows = min(PAIR_T, nc)
         kb = min(max_cand, n)
         k = min(max_cand, kb * nc)
         top_scores, row, col, masked, xywh_pre, ok = jax.vmap(
-            lambda o, x, c, bc: _select_pairs_fast(
-                o, x, c, conf_thres, max_cand, t_rows, k, best_cls=bc
-            )
-        )(obj, xywh, cls, best_cls) if best_cls is not None else jax.vmap(
             lambda o, x, c: _select_pairs_fast(
                 o, x, c, conf_thres, max_cand, t_rows, k
             )
@@ -412,24 +392,33 @@ def nms_split_batch(
             )(masked)
             return ts, ti // nc, ti % nc
 
-        top_scores, brow, bcol = jax.lax.cond(
-            jnp.all(ok), use_fast, use_exact, None
-        )
+        all_ok = jnp.all(ok)
+        if fallback == "flag":
+            top_scores, brow, bcol = use_fast(None)
+        else:
+            top_scores, brow, bcol = jax.lax.cond(
+                all_ok, use_fast, use_exact, None
+            )
         bxywh = jnp.take_along_axis(xywh_pre, brow[..., None], axis=1)
         cls_idx = bcol.astype(jnp.float32)
         half = bxywh[..., 2:4] * 0.5
         cand_boxes = jnp.concatenate(
             [bxywh[..., :2] - half, bxywh[..., :2] + half], axis=-1
         )
-        return jax.vmap(
+        dets, valid = jax.vmap(
             lambda cb, ts, ci: _emit(cb, ts, ci, float(iou_thres), max_det)
         )(cand_boxes, top_scores, cls_idx)
-    return jax.vmap(
-        lambda o, x, c: nms_split(
-            o, x, c, conf_thres, iou_thres,
-            max_det=max_det, max_cand=max_cand, multi_label=multi_label,
-        )
-    )(obj, xywh, cls)
+    else:
+        dets, valid = jax.vmap(
+            lambda o, x, c: nms_split(
+                o, x, c, conf_thres, iou_thres,
+                max_det=max_det, max_cand=max_cand, multi_label=multi_label,
+            )
+        )(obj, xywh, cls)
+        all_ok = jnp.asarray(True)
+    if fallback == "flag":
+        return dets, valid, all_ok
+    return dets, valid
 
 
 @partial(

@@ -115,56 +115,59 @@ def test_bf16_batch_matches_vmap():
     np.testing.assert_array_equal(np.asarray(d_got), np.asarray(d_ref))
 
 
-def test_packed_predict_layout_bit_exact():
-    """predict(pack_cls=True): unpacking the packed cls reproduces the bf16
-    cls bit-for-bit, best_cls is the per-box max, and the packed serving
-    pipeline (_detect_batch) returns identical detections."""
-    from edgeml_tpu.models.infer import _detect_batch
+def test_flag_mode_matches_cond_when_certificate_holds():
+    """fallback="flag" returns (dets, valid, ok): with ok True the results
+    equal the exact cond path bit-for-bit; with ok False the caller's exact
+    redo (fallback="cond") restores exactness — the host-side protocol of
+    models/infer.py run_detection."""
+    rng = np.random.default_rng(5)
+    kw = dict(conf_thres=1e-4, iou_thres=0.6, max_det=64, max_cand=256)
+
+    obj, xywh, cls = make_case(rng, 2, 600, 80)  # spread: certificate holds
+    d, v, ok = nms_split_batch(obj, xywh, cls, fallback="flag", **kw)
+    assert bool(ok)
+    d_ref, v_ref = nms_split_batch(obj, xywh, cls, **kw)
+    np.testing.assert_array_equal(np.asarray(d), np.asarray(d_ref))
+    np.testing.assert_array_equal(np.asarray(v), np.asarray(v_ref))
+
+    obj, xywh, cls = make_case(rng, 2, 600, 80, hot_boxes=200)  # fails
+    _, _, ok = nms_split_batch(obj, xywh, cls, fallback="flag", **kw)
+    assert not bool(ok)
+    d2, v2 = nms_split_batch(obj, xywh, cls, **kw)  # the host redo
+    d_ref, v_ref = reference(obj, xywh, cls, **kw)
+    np.testing.assert_array_equal(np.asarray(d2), np.asarray(d_ref))
+    np.testing.assert_array_equal(np.asarray(v2), np.asarray(v_ref))
+
+
+def test_run_detection_pipeline_files_exact(tmp_path):
+    """End-to-end run_detection (pipelined loop + host fallback protocol):
+    per-image files equal the unpipelined exact path."""
+    import jax as _jax
+    from edgeml_tpu.models.infer import _detect_batch, run_detection
     from edgeml_tpu.models.yolov5 import YoloV5
-    from edgeml_tpu.ops.nms import _unpack_cls_rows
+    from edgeml_tpu.models.common import letterbox_batch
 
     net = YoloV5(variant="n", num_classes=8, img_size=64)
-    params, stats = net.init(jax.random.PRNGKey(0))
-    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 64, 64, 3))
-    o1, w1, c1 = net.predict(params, stats, x, dtype=jnp.bfloat16)
-    o2, w2, cp, best = net.predict(
-        params, stats, x, dtype=jnp.bfloat16, pack_cls=True
-    )
-    np.testing.assert_array_equal(np.asarray(o1, np.float32),
-                                  np.asarray(o2, np.float32))
-    np.testing.assert_array_equal(np.asarray(w1), np.asarray(w2))
-    unpacked = jax.vmap(_unpack_cls_rows)(cp)
-    np.testing.assert_array_equal(np.asarray(c1, np.float32),
-                                  np.asarray(unpacked, np.float32))
-    np.testing.assert_array_equal(
-        np.asarray(jnp.max(c1, axis=-1), np.float32),
-        np.asarray(best, np.float32),
-    )
+    params, stats = net.init(_jax.random.PRNGKey(0))
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rng = np.random.default_rng(0)
+    raw = []
+    for i in range(5):
+        im = rng.random((50, 70, 3)).astype(np.float32)
+        raw.append(im)
+        np.save(img_dir / f"im{i}.npy", im)
+    out_dir = tmp_path / "out"
+    run_detection(net, params, stats, str(img_dir), str(out_dir),
+                  batch_size=2, conf_thres=1e-3, iou_thres=0.5, img_size=64)
 
-    # packed vs unpacked full pipeline: identical detections
-    meta = jnp.tile(jnp.asarray([[1.0, 0.0, 0.0]]), (2, 1))
-    hw = jnp.tile(jnp.asarray([[64.0, 64.0]]), (2, 1))
-    d_pack, v_pack = _detect_batch(
-        net, params, stats, x, meta, hw, 1e-4, 0.6, dtype=jnp.bfloat16
-    )
-    from edgeml_tpu.models.infer import _nms_unmap
-
-    d_ref, v_ref = _nms_unmap(
-        (o1, w1, c1), meta, hw, 1e-4, 0.6, 300, True
-    )
-    np.testing.assert_array_equal(np.asarray(v_pack), np.asarray(v_ref))
-    np.testing.assert_array_equal(np.asarray(d_pack), np.asarray(d_ref))
-
-
-def test_pack_cls_rejects_bad_config():
-    from edgeml_tpu.models.yolov5 import YoloV5
-
-    net = YoloV5(variant="n", num_classes=8, img_size=64)
-    params, stats = net.init(jax.random.PRNGKey(0))
-    x = jnp.zeros((1, 64, 64, 3))
-    with pytest.raises(ValueError):
-        net.predict(params, stats, x, pack_cls=True)  # f32
-    odd = YoloV5(variant="n", num_classes=7, img_size=64)
-    p2, s2 = odd.init(jax.random.PRNGKey(0))
-    with pytest.raises(ValueError):
-        odd.predict(p2, s2, x, dtype=jnp.bfloat16, pack_cls=True)
+    for i, im in enumerate(raw):
+        lb, meta = letterbox_batch([im, im], 64)
+        hw = np.array([im.shape[:2]] * 2, np.float32)
+        dets, valid = _detect_batch(
+            net, params, stats, jnp.asarray(lb), jnp.asarray(meta),
+            jnp.asarray(hw), 1e-3, 0.5,
+        )
+        want = np.asarray(dets[0])[np.asarray(valid[0])]
+        got = np.load(out_dir / f"im{i}.npy")
+        np.testing.assert_array_equal(got, want)

@@ -280,17 +280,18 @@ def test_pipelined_serving_step_matches_direct():
     ]
 
     carry = _zero_carry(net, b, 64)
-    carry, _, _ = _detect_pipe_step(
+    carry, _, _, _ = _detect_pipe_step(
         net, params, stats, carry, imgs[0], meta, hw, 1e-4, 0.5
     )
-    carry, d0, v0 = _detect_pipe_step(
+    carry, d0, v0, ok0 = _detect_pipe_step(
         net, params, stats, carry, imgs[1], meta, hw, 1e-4, 0.5
     )
     zero = _zero_carry(net, b, 64)
-    _, d1, v1 = _detect_pipe_step(
+    _, d1, v1, ok1 = _detect_pipe_step(
         net, params, stats, carry, jnp.zeros((b, 64, 64, 3)),
         zero[1], zero[2], 1e-4, 0.5
     )
+    assert bool(ok0) and bool(ok1)  # certificate holds -> outputs exact
 
     for (wd, wv), (gd, gv) in zip(want, [(d0, v0), (d1, v1)]):
         assert np.asarray(wv).sum() > 0
@@ -357,7 +358,7 @@ def test_bf16_serving_path():
     dtypes0 = [a.dtype for a in jax.tree_util.tree_leaves(carry)]
     for seed in (3, 4):
         imgs = jax.random.uniform(jax.random.PRNGKey(seed), (b, 64, 64, 3))
-        carry, dets, valid = _detect_pipe_step(
+        carry, dets, valid, _ok = _detect_pipe_step(
             net, params, stats, carry, imgs, meta, hw, 1e-4, 0.5,
             dtype=jnp.bfloat16,
         )
