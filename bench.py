@@ -178,6 +178,20 @@ def run_yolo():
 
     from edgeml_tpu.utils.synth import hash_uniform
 
+    # BN calibration: raw random-init weights leave the head with ~zero
+    # input (activations decay ~40x/stage), scoring every candidate at its
+    # bias constant — a degenerate NMS workload of massive exact ties.
+    # Calibrated stats give O(1) activations and a realistic spread score
+    # distribution (see models/yolov5.py calibrate_bn).
+    from edgeml_tpu.models.yolov5 import calibrate_bn
+
+    t0 = time.perf_counter()
+    stats = calibrate_bn(
+        net, params, stats, lambda i: hash_uniform(9000 + i, (8, 640, 640, 3))
+    )
+    jax.block_until_ready(stats)
+    log(f"bn calibration (6 train-mode passes): {time.perf_counter() - t0:.1f}s")
+
     def fresh_images(seed):
         """Per-step synthetic images from a cheap on-device hash: threefry
         (jax.random.uniform) costs ~8 ms per (128, 640, 640, 3) batch on
@@ -190,20 +204,22 @@ def run_yolo():
     for name, dt in (("f32", None), ("bf16", jnp.bfloat16)):
         # the production serving loop: software-pipelined steps (this
         # batch's trunk + previous batch's NMS tail in one program). The
-        # step's NMS is the fast pair-selection pool; its exactness-
-        # certificate flag is accumulated and asserted after timing (the
-        # host-fallback path of run_detection, which this loop mirrors,
-        # fires only when the certificate fails).
+        # step's NMS is the fast pair-selection pool; per-step exactness-
+        # certificate failures are counted, and each one is billed the
+        # measured cost of the host-side exact redo (run_detection's
+        # protocol for a failed batch) so the reported number is the
+        # throughput of the EXACT pipeline, not the optimistic fast path.
         @jax.jit
         def step(carry, seed, dt=dt):
-            prev, acc, okacc = carry
+            prev, acc, nfail = carry
             imgs = fresh_images(seed)
             nxt, d, v, ok = _detect_pipe_step(
                 net, params, stats, prev, imgs, meta, hw, 1e-5, 0.6, dtype=dt
             )
-            return (nxt, acc + d.sum(), okacc & ok)
+            return (nxt, acc + d.sum(), nfail + (1 - ok.astype(jnp.int32)))
 
-        zero = (_zero_carry(net, b, 640, dt), jnp.zeros(()), jnp.asarray(True))
+        zero = (_zero_carry(net, b, 640, dt), jnp.zeros(()),
+                jnp.zeros((), jnp.int32))
         t0 = time.perf_counter()
         carry = step(zero, 0)
         jax.block_until_ready(carry)
@@ -212,12 +228,25 @@ def run_yolo():
         for i in range(iters):
             carry = step(carry, 1 + i)
         jax.block_until_ready(carry)
-        ips = b * iters / (time.perf_counter() - t0)
-        exact = bool(carry[2])
+        elapsed = time.perf_counter() - t0
+        nfail = int(carry[2])
+        redo_s = 0.0
+        if nfail:
+            from edgeml_tpu.models.infer import exact_redo
+
+            held = carry[0]  # (pred, meta, hw) of the last batch
+            exact_redo(held, 1e-5, 0.6)  # compile
+            tr = time.perf_counter()
+            jax.block_until_ready(exact_redo(held, 1e-5, 0.6))
+            redo_s = time.perf_counter() - tr
+            log(f"yolo {name}: {nfail}/{iters} certificate failures, "
+                f"billing {redo_s * 1e3:.1f} ms exact redo each")
+        total = elapsed + nfail * redo_s
+        ips = b * iters / total
         log(f"yolov5n inference {name} (B={b}): {ips:.0f} img/s "
-            f"(fast-pool exact certificate: {exact})")
+            f"({nfail}/{iters} steps redone exactly)")
         out[name] = round(ips, 1)
-        out[name + "_exact"] = exact
+        out[name + "_redo_steps"] = nfail
     return out
 
 

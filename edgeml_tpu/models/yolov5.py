@@ -453,6 +453,29 @@ class YoloV5:
         return params, stats
 
 
+def calibrate_bn(net: YoloV5, params, stats, images_fn, iters: int = 6):
+    """Set BatchNorm running statistics to the network's ACTUAL activation
+    statistics by iterating train-mode passes and inverting the momentum
+    update (batch = old + (new - old) / momentum).
+
+    Torch-default conv init is not gain-preserving: with never-updated init
+    stats (mean 0 / var 1), activations decay ~40x per stage and the head
+    sees ~zero input — random-weight serving then scores every candidate at
+    its bias constant, a degenerate NMS workload of massive exact ties
+    (measured; bench.py uses this so its synthetic serving distribution is
+    realistic). Calibrate at the SERVING image size: spatial statistics are
+    size-dependent and stats calibrated at 64 px diverge at 640.
+
+    :param images_fn: iteration -> (B, S, S, 3) calibration batch.
+    """
+    for i in range(iters):
+        _, new_stats, _ = net.apply(params, stats, images_fn(i), train=True)
+        stats = jax.tree_util.tree_map(
+            lambda o, n: o + (n - o) / BN_MOMENTUM, stats, new_stats
+        )
+    return stats
+
+
 def fuse_convbn(params, stats, eps: float = BN_EPS):
     """Fold BatchNorm statistics into conv weights for inference.
 

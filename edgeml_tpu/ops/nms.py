@@ -188,40 +188,11 @@ def nms_split(
     """
     n, nc = cls.shape
     if multi_label and nc > 1:
-        # EXACT two-stage pair selection: pre-filter boxes by their BEST pair
-        # confidence max_c(obj*cls_c). Every box contributing a pair above
-        # the k-th pair confidence t contributes (at least) its own best pair
-        # above t, and those are distinct per box — so at most k boxes rank
-        # above t, and the top max_cand boxes by best-pair confidence contain
-        # every top-max_cand pair. (Pre-filtering by obj alone — the previous
-        # scheme — is NOT exact: many high-obj/low-cls boxes can crowd out a
-        # lower-obj box holding the single best pair.)
-        kb = min(max_cand, n)
-        best = jnp.max(cls, axis=1) * obj  # (N,) fused elementwise
-        box_score = jnp.where(
-            (obj > conf_thres) & (best > conf_thres), best, -1.0
+        top_scores, bxywh, col = _rank_pairs_exact(
+            obj, xywh, cls, conf_thres, max_cand,
+            _use_keys(cls, n, min(max_cand, n)),
         )
-        # At the YOLO 640 size (n=25200) a DIRECT lax.top_k measures faster
-        # than chunking (15.7 vs 17.0 ms in-pipeline, tools/exp_round3.py) —
-        # the TopK cliff does not bite at this n. Larger n (e.g. 1280-input
-        # grids) stay on the chunked path.
-        best_top, box_pre = topk1d(box_score, kb,
-                                   chunk=n if n <= 25600 else 10240)
-        xywh_pre, obj_pre, cls_rows = _gather_rows(
-            box_pre, xywh, obj, cls
-        )
-        cls_conf = cls_rows * obj_pre[:, None]
-        flat = jnp.where(
-            (best_top[:, None] > 0) & (cls_conf > conf_thres), cls_conf, -1.0
-        ).reshape(-1)
-        k = min(max_cand, flat.shape[0])
-        # chunk=4096 measured fastest for the (max_cand*nc,) pair ranking
-        # shape on v5e (47.1 ms pipeline vs 47.8 at the 10240 default,
-        # tools/exp_tail2.py); both are exact.
-        top_scores, top_idx = topk1d(flat, k, chunk=4096)
-        bsel = top_idx // nc
-        cls_idx = (top_idx % nc).astype(jnp.float32)
-        bxywh = xywh_pre[bsel]
+        cls_idx = col.astype(jnp.float32)
     else:
         best_conf = jnp.max(cls, axis=1) * obj  # (N,) fused elementwise
         best_cls = jnp.argmax(cls, axis=1)
@@ -257,75 +228,241 @@ def _gather_rows(box_pre, xywh, obj, cls):
     return xywh[box_pre], obj[box_pre], cls[box_pre]
 
 
-PAIR_T = 8  # per-box class candidates for tail (non-head) boxes
+def _pack17(x):
+    """int32 ranking keys for a 1-D array of bfloat16 scores in (0, 1]:
+
+        key = (bitcast16(score) << 17) - index
+
+    Real scores (> 0) have bit patterns in (0, 0x3F80] (14 bits), index
+    < x.size <= 2^17, so keys are unique and order exactly by the canonical
+    reference order (score desc, index asc); non-positive entries map to
+    key = -index <= 0, below every real key. The keys make every ranking
+    tie-PROOF: XLA's TPU TopK is not tie-stable, and bf16 ties are common
+    (8-bit mantissa — the calibrated serving workload shows 60+ way tie
+    clusters at the 1024th pair score), so value-ranked top_k on TPU
+    resolves ties arbitrarily while CPU resolves them ascending. Ranking
+    keys instead pins ALL paths (fast pool, exact fallback, per-image
+    reference) to the same canonical order on every platform.
+    """
+    u = jnp.where(
+        x > 0,
+        jax.lax.bitcast_convert_type(x, jnp.uint16).astype(jnp.int32),
+        0,
+    )
+    return (u << 17) - jax.lax.iota(jnp.int32, x.shape[0])
+
+
+def _unpack17(keys, idx):
+    """Recover bfloat16 scores from _pack17 keys + their original indices
+    (key + index == score_bits << 17); non-real keys (<= 0) map to -1.0,
+    matching the value-ranking masks."""
+    u = ((keys + idx) >> 17).astype(jnp.uint16)
+    s = jax.lax.bitcast_convert_type(u, jnp.bfloat16)
+    return jnp.where(keys > 0, s, jnp.asarray(-1.0, jnp.bfloat16))
+
+
+def _use_keys(cls, n, kb):
+    """Key ranking applies when scores are bf16 (tie clusters are the rule)
+    and both index spaces fit the 17-bit field. The production YOLO shape
+    (n=25200, kb*nc=81,920) fits; larger grids fall back to value ranking
+    (ties there remain subject to the TPU tie-order caveat)."""
+    nc = cls.shape[-1]
+    return (cls.dtype == jnp.bfloat16 and n <= (1 << 17)
+            and kb * nc <= (1 << 17))
+
+
+def _rank_pairs_exact(o, x, c, conf_thres, max_cand, by_key):
+    """EXACT two-stage pair selection for one image: pre-filter boxes by
+    their BEST pair confidence max_c(obj*cls_c), then rank all kb*nc pairs.
+    Every box contributing a pair above the k-th pair confidence t
+    contributes (at least) its own best pair above t, and those are
+    distinct per box — so at most k boxes rank above t, and the top
+    max_cand boxes by best-pair confidence contain every top-max_cand
+    pair. (Pre-filtering by obj alone — the original scheme — is NOT
+    exact: many high-obj/low-cls boxes can crowd out a lower-obj box
+    holding the single best pair.)
+
+    by_key: rank packed integer keys instead of raw values (bf16 inputs —
+    see _pack17); bit-identical on CPU, tie-deterministic on TPU.
+
+    Returns (top_scores (k,), bxywh (k, 4), col (k,) int).
+    """
+    n, nc = c.shape
+    kb = min(max_cand, n)
+    best = jnp.max(c, axis=1) * o  # (N,) fused elementwise
+    box_score = jnp.where((o > conf_thres) & (best > conf_thres), best, -1.0)
+    # At the YOLO 640 size (n=25200) a DIRECT lax.top_k measures faster
+    # than chunking (15.7 vs 17.0 ms in-pipeline, tools/exp_round3.py) —
+    # the TopK cliff does not bite at this n. Larger n (e.g. 1280-input
+    # grids) stay on the chunked path.
+    chunk = n if n <= 25600 else 10240
+    if by_key:
+        bt_keys, box_pre = topk1d(_pack17(box_score), kb, chunk=chunk)
+        best_top = _unpack17(bt_keys, box_pre)
+    else:
+        best_top, box_pre = topk1d(box_score, kb, chunk=chunk)
+    xywh_pre, obj_pre, cls_rows = _gather_rows(box_pre, x, o, c)
+    cls_conf = cls_rows * obj_pre[:, None]
+    flat = jnp.where(
+        (best_top[:, None] > 0) & (cls_conf > conf_thres), cls_conf, -1.0
+    ).reshape(-1)
+    k = min(max_cand, flat.shape[0])
+    # chunk=4096 measured fastest for the (max_cand*nc,) pair ranking
+    # shape on v5e (47.1 ms pipeline vs 47.8 at the 10240 default,
+    # tools/exp_tail2.py); both are exact.
+    if by_key:
+        tk_keys, top_idx = topk1d(_pack17(flat), k, chunk=4096)
+        top_scores = _unpack17(tk_keys, top_idx)
+    else:
+        top_scores, top_idx = topk1d(flat, k, chunk=4096)
+    return top_scores, xywh_pre[top_idx // nc], top_idx % nc
+
+
+PAIR_T = 16  # per-box class candidates for tail (non-head) boxes
 PAIR_B1 = 128  # head boxes whose FULL class rows enter the pool
+PAIR_G = 512  # boxes whose rows are gathered at all (tier 1 + tier 2)
 
 
-def _select_pairs_fast(o, x, c, conf_thres, max_cand, t_rows, k):
+def _select_pairs_fast(o, x, c, conf_thres, g_rows, t_rows, k, by_key):
     """Per-image fast pair selection: box prefilter by best-pair confidence
-    (exact, as in nms_split), then rank a TWO-TIER pool instead of all
-    kb*nc pairs:
+    (exact, as in nms_split), then gather only the top g_rows boxes' class
+    rows and rank a TWO-TIER pool instead of all kb*nc pairs:
 
       tier 1: the top PAIR_B1 boxes contribute their FULL class rows —
               covers the concentrated regime (random-init weights put the
               whole top-1024 into ~14 boxes of 80 classes each, measured);
-      tier 2: the remaining boxes contribute their per-row top-PAIR_T —
+      tier 2: boxes PAIR_B1..g_rows contribute their per-row top-PAIR_T —
               covers the spread regime (~1 top pair per box).
 
-    Pool size = B1*nc + (kb-B1)*T (~17k vs 82k for kb=1024, nc=80) — the
-    tail's serial cost is budgeted by elements touched (CLAUDE.md).
+    The row gather is the tail's dominant serial cost (~1 element/cycle,
+    CLAUDE.md cost model): at the production shape only max 284 / mean 153
+    of the top-1024 boxes ever hold a pair above the k-th pair score
+    (measured over 2560 calibrated random-weight images, both dtypes), so
+    g_rows=PAIR_G=512 halves the gathered elements, and the pool shrinks to
+    B1*nc + (G-B1)*T = 16.4k of the 82k pairs.
 
-    Exactness certificate: let t = the k-th pool score. Boxes beyond kb are
-    excluded exactly by the best-pair prefilter; tier-1 rows are complete;
-    a tier-2 row can only hide pairs below its (T+1)-th value, so if no
-    tier-2 row's (T+1)-th value is a real score >= t, every hidden pair
-    sits below >= k pool pairs and the pool holds the true top-k.
+    Exactness certificate, two parts, both exact counts (vectorized
+    compare-reduces), with (t, f*) the k-th selected pair's (score, flat
+    index) — an element ranks strictly above it iff score > t or
+    (score == t and flat < f*):
 
-    Tie order matches the exact flat ranking: the pool is laid out
-    row-major (tier-1 rows first, then tier-2 rows in rank order), per-row
-    top_k keeps ascending column order on ties, so equal values resolve
-    (row, col)-lexicographically either way.
+      * in-pool: #{gathered pairs above the (t, f*) boundary} == kk - 1.
+        Every pool element above the boundary is selected, and the pool
+        contributes exactly kk - 1 of them, so equality holds iff nothing
+        hidden (a tier-2 row's pairs beyond its top-T) ranks above;
+      * hidden rows: best_top[g] <= t — a hidden TIE at t is harmless
+        since hidden rows sit after every gathered row in the canonical
+        order, so only a strictly greater score displaces. (When t <= 0
+        the pool ran dry; then exactness needs every real gathered pair
+        in the pool and no real hidden boxes: best_top[g] <= 0.)
 
-    Returns (top_scores (k,), row (k,), col (k,), masked (kb, nc),
-    xywh_pre (kb, 4), ok scalar bool).
+    An earlier per-row check (any tier-2 row's (T+1)-th value >= t) was
+    sound but conservative: in the calibrated random-weight regime its
+    margins sat within ~8% and whole batches fell back on near-misses
+    that hid nothing. The count form with T=16 measured ZERO failures
+    over 2560 images while T=8 failed ~2% of images (1-4 per 128-batch).
+
+    Tie handling (by_key, decided by _use_keys): the reference order is
+    (score desc, flat (row, col) asc). On CPU lax.top_k is tie-stable
+    (ascending index), and the pool layout is flat-order-consistent, so
+    value ranking reproduces the reference order. On TPU XLA's TopK is
+    NOT tie-stable (measured: with bf16 tie clusters of 60+ at the k-th
+    score — 8-bit mantissa — every calibrated 128-batch differed from the
+    flat ranking in tie order). With by_key every ranking here (box
+    prefilter, per-row top-T, pool top-k) runs on _pack17 keys — unique,
+    canonical order on every platform, matching _rank_pairs_exact's keyed
+    ranking — and scores are recovered algebraically from the selected
+    keys (score_bits = (key + flat) >> 17): no auxiliary value arrays or
+    per-element gathers (a pool_v[sel] gather of 1024 single-element rows
+    costs ~16 cycles/row). The f32 path keeps plain value ranking: exact
+    f32 score ties are vanishingly rare (0 in 1280 calibrated images),
+    the boundary certificate catches any hidden one, and the hidden-row
+    check stays STRICT (without canonical order a tie at rank g cannot be
+    attributed to either side).
+
+    Returns (top_scores (k,), row (k,), col (k,), xywh_pre (g, 4),
+    ok scalar bool). Row/col index into the g gathered rows.
     """
     n, nc = c.shape
-    kb = min(max_cand, n)
-    b1 = min(PAIR_B1, kb)
+    g = min(g_rows, n)
+    b1 = min(PAIR_B1, g)
     best = jnp.max(c, axis=1) * o
     box_score = jnp.where((o > conf_thres) & (best > conf_thres), best, -1.0)
-    best_top, box_pre = topk1d(box_score, kb,
-                               chunk=n if n <= 25600 else 10240)
+    need = min(g + 1, n)  # one extra for the hidden-row certificate
+    chunk = n if n <= 25600 else 10240
+    if by_key:
+        bt_keys, box_pre = topk1d(_pack17(box_score), need, chunk=chunk)
+        best_top = _unpack17(bt_keys, box_pre)
+    else:
+        best_top, box_pre = topk1d(box_score, need, chunk=chunk)
+    hid_val = best_top[g] if need > g else None
+    best_top, box_pre = best_top[:g], box_pre[:g]
     xywh_pre, obj_pre, cls_rows = _gather_rows(box_pre, x, o, c)
     cls_conf = cls_rows * obj_pre[:, None]
     masked = jnp.where(
         (best_top[:, None] > 0) & (cls_conf > conf_thres), cls_conf, -1.0
     )
-    full = t_rows >= nc or b1 >= kb
+    flat_i = jax.lax.iota(jnp.int32, g * nc).reshape(g, nc)
+    if by_key:
+        keys = _pack17(masked.reshape(-1)).reshape(g, nc)
+    else:
+        keys = masked
+    full = t_rows >= nc or b1 >= g
     if full:
-        pool_v = masked.reshape(-1)
+        pool_k = keys.reshape(-1)
         pool_col = None  # tier-2 absent; col = pool index % nc
     else:
-        v, i = jax.lax.top_k(masked[b1:], min(t_rows + 1, nc))
-        pool_v = jnp.concatenate(
-            [masked[:b1].reshape(-1), v[:, :t_rows].reshape(-1)]
-        )
-        pool_col = i[:, :t_rows].reshape(-1)  # tier-2 column lookup
-    kk = min(k, pool_v.shape[0])
-    top_scores, sel = jax.lax.top_k(pool_v, kk)
+        v, i = jax.lax.top_k(keys[b1:], t_rows)  # non-full: t_rows < nc
+        pool_k = jnp.concatenate([keys[:b1].reshape(-1), v.reshape(-1)])
+        pool_col = i.reshape(-1)  # tier-2 column lookup
+    kk = min(k, pool_k.shape[0])
+    top_keys, sel = jax.lax.top_k(pool_k, kk)
     if full:
         row = sel // nc
         col = sel % nc
-        ok = jnp.asarray(True)
     else:
         tier2 = sel - b1 * nc  # >= 0 only for tier-2 entries
         row = jnp.where(tier2 < 0, sel // nc, b1 + tier2 // t_rows)
         col = jnp.where(
             tier2 < 0, sel % nc, pool_col[jnp.maximum(tier2, 0)]
         )
-        t_k = top_scores[kk - 1]
-        v_excl = v[:, t_rows]  # non-full branch has t_rows < nc columns + 1
-        ok = ~jnp.any((v_excl >= t_k) & (v_excl > 0.0))
+    if by_key:
+        # Recover scores from the keys: key + flat == score_bits << 17.
+        u_sel = (top_keys + row * nc + col) >> 17
+        top_scores = jax.lax.bitcast_convert_type(
+            u_sel.astype(jnp.uint16), jnp.bfloat16
+        )
+        # keys of real pairs are >= 2^17 - g*nc > 0; masked pairs <= 0
+        top_scores = jnp.where(top_keys > 0, top_scores, -1.0)
+    else:
+        top_scores = top_keys
+    t_k = top_scores[kk - 1]
+    if full:
+        ok = jnp.asarray(True)  # pool == gathered matrix: selection exact
+    else:
+        # Boundary-count certificate (see docstring). For the dry pool
+        # (t_k <= 0: fewer than kk real pairs) exactness only needs every
+        # REAL gathered pair in the pool — which pad entries are selected
+        # is immaterial (emit masks score <= 0 to zero rows).
+        if by_key:
+            above = jnp.sum(keys > top_keys[kk - 1])
+        else:
+            f_star = row[kk - 1] * nc + col[kk - 1]
+            above = jnp.sum(
+                (masked > t_k) | ((masked == t_k) & (flat_i < f_star))
+            )
+        ok = jnp.where(
+            t_k > 0,
+            above == kk - 1,
+            jnp.sum(keys > 0) == jnp.sum(pool_k > 0),
+        )
+    if hid_val is not None:
+        # Hidden-row certificate (g < n) — see docstring. In the key path a
+        # hidden tie at t_k is provably harmless (canonical order puts hidden
+        # rows last); the value path cannot attribute a rank-g tie, so it
+        # stays strict there.
+        hid_ok = hid_val <= t_k if by_key else hid_val < t_k
+        ok = ok & jnp.where(t_k > 0, hid_ok, hid_val <= 0)
     if kk < k:  # pad to the exact-branch width (tiny-n inputs)
         pad = k - kk
         top_scores = jnp.concatenate(
@@ -333,7 +470,7 @@ def _select_pairs_fast(o, x, c, conf_thres, max_cand, t_rows, k):
         )
         row = jnp.concatenate([row, jnp.zeros((pad,), row.dtype)])
         col = jnp.concatenate([col, jnp.zeros((pad,), col.dtype)])
-    return top_scores, row, col, masked, xywh_pre, ok
+    return top_scores, row, col, xywh_pre, ok
 
 
 @partial(
@@ -373,33 +510,38 @@ def nms_split_batch(
     if multi_label and nc > 1:
         t_rows = min(PAIR_T, nc)
         kb = min(max_cand, n)
+        g = min(PAIR_G, kb)
         k = min(max_cand, kb * nc)
-        top_scores, row, col, masked, xywh_pre, ok = jax.vmap(
+        by_key = _use_keys(cls, n, kb)
+        top_scores, row, col, xywh_pre, ok = jax.vmap(
             lambda o, x, c: _select_pairs_fast(
-                o, x, c, conf_thres, max_cand, t_rows, k
+                o, x, c, conf_thres, g, t_rows, k, by_key
             )
         )(obj, xywh, cls)
 
         def use_fast(_):
-            return top_scores, row, col
+            bxy = jnp.take_along_axis(xywh_pre, row[..., None], axis=1)
+            return top_scores, bxy, col
 
         def use_exact(_):
-            # chunk=4096 measured fastest for this shape on v5e
-            # (tools/exp_tail2.py); bit-identical to the fast pool when the
-            # certificate holds, exact always
-            ts, ti = jax.vmap(
-                lambda m: topk1d(m.reshape(-1), k, chunk=4096)
-            )(masked)
-            return ts, ti // nc, ti % nc
+            # Full-width exact ranking (the contract: top-k pairs over the
+            # top-kb boxes by best-pair confidence) — recomputed from the
+            # raw inputs since the fast path gathers only g <= kb rows;
+            # the SAME code as nms_split's multi-label branch, so the two
+            # agree by construction (including the keyed tie order).
+            return jax.vmap(
+                lambda o1, x1, c1: _rank_pairs_exact(
+                    o1, x1, c1, conf_thres, max_cand, by_key
+                )
+            )(obj, xywh, cls)
 
         all_ok = jnp.all(ok)
         if fallback == "flag":
-            top_scores, brow, bcol = use_fast(None)
+            top_scores, bxywh, bcol = use_fast(None)
         else:
-            top_scores, brow, bcol = jax.lax.cond(
+            top_scores, bxywh, bcol = jax.lax.cond(
                 all_ok, use_fast, use_exact, None
             )
-        bxywh = jnp.take_along_axis(xywh_pre, brow[..., None], axis=1)
         cls_idx = bcol.astype(jnp.float32)
         half = bxywh[..., 2:4] * 0.5
         cand_boxes = jnp.concatenate(

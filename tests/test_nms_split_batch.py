@@ -74,8 +74,8 @@ def test_certificate_fires_on_many_hot_boxes():
     obj, xywh, cls = make_case(rng, 2, 600, 80, hot_boxes=200)
     kb = min(256, 600)
     k = min(256, kb * 80)
-    _, _, _, _, _, ok = jax.vmap(
-        lambda o, x, c: _select_pairs_fast(o, x, c, 1e-4, 256, PAIR_T, k)
+    *_, ok = jax.vmap(
+        lambda o, x, c: _select_pairs_fast(o, x, c, 1e-4, 256, PAIR_T, k, False)
     )(obj, xywh, cls)
     assert not bool(jnp.all(ok))
 
@@ -87,10 +87,69 @@ def test_certificate_holds_on_concentrated_scores():
     obj, xywh, cls = make_case(rng, 2, 2000, 80, hot_boxes=14)
     kb = min(1024, 2000)
     k = min(1024, kb * 80)
-    _, _, _, _, _, ok = jax.vmap(
-        lambda o, x, c: _select_pairs_fast(o, x, c, 1e-4, 1024, PAIR_T, k)
+    *_, ok = jax.vmap(
+        lambda o, x, c: _select_pairs_fast(o, x, c, 1e-4, 512, PAIR_T, k, False)
     )(obj, xywh, cls)
     assert bool(jnp.all(ok))
+
+
+def make_spread_case(rng, b, n, nc, contributors):
+    """`contributors` boxes each hold one dominant pair plus small-but-
+    qualifying pairs spread over the other classes; the rest of the boxes
+    sit below the confidence gate. With contributors > PAIR_G the top-k
+    pairs draw from more rows than the fast path gathers."""
+    obj = np.full((b, n), 1e-5, np.float32)
+    cls = np.full((b, n, nc), 1e-5, np.float32)
+    obj[:, :contributors] = 1.0
+    cls[:, :contributors, :] = rng.uniform(
+        0.001, 0.003, (b, contributors, nc)
+    ).astype(np.float32)
+    hot = rng.integers(0, nc, (b, contributors))
+    for bi in range(b):
+        cls[bi, np.arange(contributors), hot[bi]] = (
+            0.9 - np.arange(contributors) * 1e-4
+        ).astype(np.float32)
+    xywh = np.stack(
+        [
+            rng.uniform(50, 600, (b, n)),
+            rng.uniform(50, 600, (b, n)),
+            rng.uniform(5, 80, (b, n)),
+            rng.uniform(5, 80, (b, n)),
+        ],
+        axis=-1,
+    ).astype(np.float32)
+    return jnp.asarray(obj), jnp.asarray(xywh), jnp.asarray(cls)
+
+
+def test_hidden_row_certificate_fires_beyond_gather_width():
+    """More contributing boxes than the PAIR_G gather width: the top-1024
+    pairs draw from rows the fast path never gathers, so the hidden-row
+    certificate (best_top[g] < t_k) must fail and the exact fallback must
+    restore bit-identical results."""
+    from edgeml_tpu.ops.nms import PAIR_G
+
+    rng = np.random.default_rng(7)
+    obj, xywh, cls = make_spread_case(rng, 2, 2048, 80, PAIR_G + 200)
+    kw = dict(conf_thres=1e-4, iou_thres=0.6, max_det=64, max_cand=1024)
+    _, _, ok = nms_split_batch(obj, xywh, cls, fallback="flag", **kw)
+    assert not bool(ok)
+    d_got, v_got = nms_split_batch(obj, xywh, cls, **kw)  # cond fallback
+    d_ref, v_ref = reference(obj, xywh, cls, **kw)
+    np.testing.assert_array_equal(np.asarray(v_got), np.asarray(v_ref))
+    np.testing.assert_array_equal(np.asarray(d_got), np.asarray(d_ref))
+
+
+def test_hidden_row_certificate_holds_below_gather_width():
+    """Contributors comfortably inside the gather width: certificate holds
+    and the fast path is bit-identical to the exact reference."""
+    rng = np.random.default_rng(8)
+    obj, xywh, cls = make_spread_case(rng, 2, 2048, 80, 300)
+    kw = dict(conf_thres=1e-4, iou_thres=0.6, max_det=64, max_cand=1024)
+    d, v, ok = nms_split_batch(obj, xywh, cls, fallback="flag", **kw)
+    assert bool(ok)
+    d_ref, v_ref = reference(obj, xywh, cls, **kw)
+    np.testing.assert_array_equal(np.asarray(v), np.asarray(v_ref))
+    np.testing.assert_array_equal(np.asarray(d), np.asarray(d_ref))
 
 
 def test_single_label_path():
@@ -113,6 +172,40 @@ def test_bf16_batch_matches_vmap():
     d_got, v_got = nms_split_batch(obj16, xywh, cls16, **kw)
     np.testing.assert_array_equal(np.asarray(v_got), np.asarray(v_ref))
     np.testing.assert_array_equal(np.asarray(d_got), np.asarray(d_ref))
+
+
+def test_bf16_tie_clusters_hold_certificate_and_match_exact():
+    """bfloat16 quantization produces large tie clusters at the k-th score
+    (measured 60+ on the calibrated workload), which the value-ranked
+    certificate cannot clear. The bf16 path ranks packed (score, -index)
+    integer keys instead: ties are impossible, the certificate holds, and
+    the selection is bit-identical to the exact reference tie order."""
+    rng = np.random.default_rng(9)
+    b, n, nc = 2, 2000, 80
+    obj = np.ones((b, n), np.float32)
+    # coarse score grid: every value collides with ~n*nc/12 others
+    cls = rng.choice(
+        [0.05, 0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 0.95, 0.99],
+        (b, n, nc),
+    ).astype(np.float32)
+    xywh = np.stack(
+        [
+            rng.uniform(50, 600, (b, n)),
+            rng.uniform(50, 600, (b, n)),
+            rng.uniform(5, 80, (b, n)),
+            rng.uniform(5, 80, (b, n)),
+        ],
+        axis=-1,
+    ).astype(np.float32)
+    obj16 = jnp.asarray(obj, jnp.bfloat16)
+    cls16 = jnp.asarray(cls, jnp.bfloat16)
+    xywh = jnp.asarray(xywh)
+    kw = dict(conf_thres=1e-4, iou_thres=0.6, max_det=64, max_cand=1024)
+    d, v, ok = nms_split_batch(obj16, xywh, cls16, fallback="flag", **kw)
+    assert bool(ok), "key-ranked pool must certify through tie clusters"
+    d_ref, v_ref = reference(obj16, xywh, cls16, **kw)
+    np.testing.assert_array_equal(np.asarray(v), np.asarray(v_ref))
+    np.testing.assert_array_equal(np.asarray(d), np.asarray(d_ref))
 
 
 def test_flag_mode_matches_cond_when_certificate_holds():

@@ -1,0 +1,100 @@
+"""Single-launch ablation of the round-3 YOLOv5 serving tail (G=512 gather,
+two-tier pool, key-ranked bf16). Cumulative variants of the full pipeline in
+ONE jit each, chained through a scalar accumulator (CLAUDE.md measurement
+rules — per-launch timings lie).
+
+Stages: 0 trunk+decode | 1 +prefilter topk | 2 +row gathers |
+        3 +pool build/rank/cert | 4 +emit (fixpoint NMS)  == full pipeline
+
+    python tools/exp_ablate3.py [B] [iters] [f32|bf16]
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+
+from edgeml_tpu.models.yolov5 import YoloV5, calibrate_bn
+from edgeml_tpu.ops.nms import (
+    PAIR_G, PAIR_T, _emit, _select_pairs_fast, _gather_rows, topk1d,
+)
+from edgeml_tpu.utils.synth import hash_uniform
+
+B = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+ITERS = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+DT = jnp.bfloat16 if (len(sys.argv) > 3 and sys.argv[3] == "bf16") else None
+N, NC, KB, MAXD = 25200, 80, 1024, 300
+CONF, IOU = 1e-5, 0.6
+G = min(PAIR_G, KB)
+K = min(KB, KB * NC)
+
+net = YoloV5(variant="n", num_classes=NC, img_size=640)
+params, stats = net.init(jax.random.PRNGKey(0))
+stats = calibrate_bn(
+    net, params, stats, lambda i: hash_uniform(9000 + i, (8, 640, 640, 3))
+)
+
+
+def stage_pipeline(upto):
+    def fn(acc, seed):
+        imgs = hash_uniform(seed, (B, 640, 640, 3))
+        obj, xywh, cls = net.predict(params, stats, imgs, dtype=DT)
+        if upto == 0:
+            return acc + obj.astype(jnp.float32).sum() * 1e-9 \
+                + xywh.sum() * 1e-12 + cls.astype(jnp.float32).sum() * 1e-9
+
+        def one(o, x, c, upto=upto):
+            best = jnp.max(c, axis=1) * o
+            box_score = jnp.where((o > CONF) & (best > CONF), best, -1.0)
+            best_top, box_pre = topk1d(box_score, G + 1, chunk=N)
+            if upto == 1:
+                return best_top.astype(jnp.float32).sum() * 1e-9 \
+                    + box_pre.sum() * 1e-12
+            xywh_pre, obj_pre, cls_rows = _gather_rows(
+                box_pre[:G], x, o, c
+            )
+            if upto == 2:
+                return (xywh_pre.sum() * 1e-12
+                        + obj_pre.astype(jnp.float32).sum() * 1e-9
+                        + cls_rows.astype(jnp.float32).sum() * 1e-9)
+            ts, row, col, xp, ok = _select_pairs_fast(
+                o, x, c, CONF, G, min(PAIR_T, NC), K
+            )
+            if upto == 3:
+                return ts.astype(jnp.float32).sum() * 1e-9 \
+                    + row.sum() * 1e-12 + col.sum() * 1e-12 \
+                    + ok.astype(jnp.float32) * 1e-9
+            bx = xp[row]
+            half = bx[:, 2:4] * 0.5
+            cand = jnp.concatenate([bx[:, :2] - half, bx[:, :2] + half], 1)
+            dets, valid = _emit(cand, ts.astype(jnp.float32),
+                                col.astype(jnp.float32), IOU, MAXD)
+            return dets.sum() * 1e-9 + valid.sum() * 1e-9
+
+        return acc + jnp.sum(jax.vmap(one)(obj, xywh, cls))
+
+    return fn
+
+
+prev = 0.0
+for st in range(5):
+    step = jax.jit(stage_pipeline(st))
+    t0 = time.perf_counter()
+    acc = step(jnp.zeros(()), 0)
+    acc.block_until_ready()
+    print(f"stage {st}: warmup {time.perf_counter() - t0:.1f}s", flush=True)
+    t0 = time.perf_counter()
+    for i in range(ITERS):
+        acc = step(acc, 1 + i)
+    acc.block_until_ready()
+    ms = (time.perf_counter() - t0) / ITERS * 1e3
+    print(
+        f"stage {st}: {ms:8.2f} ms/batch  (+{ms - prev:7.2f})  "
+        f"{B / ms * 1e3:7.1f} img/s",
+        flush=True,
+    )
+    prev = ms
