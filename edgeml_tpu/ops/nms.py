@@ -59,18 +59,29 @@ def greedy_keep_mask(boxes: jax.Array, scores: jax.Array,
     at most (longest suppression chain) iterations — each one a (K, K) matvec.
     """
     k = scores.shape[0]
-    lo = jnp.maximum(boxes[:, None, :2], boxes[None, :, :2])
-    hi = jnp.minimum(boxes[:, None, 2:4], boxes[None, :, 2:4])
-    inter = jnp.prod(jnp.maximum(hi - lo, 0.0), axis=-1)
-    area = jnp.prod(jnp.maximum(boxes[:, 2:4] - boxes[:, :2], 0.0), axis=-1)
+    # Split-coordinate IoU: every intermediate is a full (K, K) matrix with a
+    # 128-lane-friendly minor dim. The packed (K, 1, 2)/(1, K, 2) broadcast
+    # form leaves 2-wide minor dims that vectorize poorly on the (8, 128) VPU
+    # (measured: the packed sup build is ~2x the split form at K=1024,
+    # tools/exp_emit.py). Arithmetic is identical op-for-op (min/max, sub,
+    # clamp, mul), so results are bit-identical.
+    x1, y1, x2, y2 = (boxes[:, i] for i in range(4))
+    ix = jnp.minimum(x2[:, None], x2[None, :]) - jnp.maximum(
+        x1[:, None], x1[None, :]
+    )
+    iy = jnp.minimum(y2[:, None], y2[None, :]) - jnp.maximum(
+        y1[:, None], y1[None, :]
+    )
+    inter = jnp.maximum(ix, 0.0) * jnp.maximum(iy, 0.0)
+    area = jnp.maximum(x2 - x1, 0.0) * jnp.maximum(y2 - y1, 0.0)
     iou = inter / jnp.maximum(area[:, None] + area[None, :] - inter, 1e-12)
     row = jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)
-    # sup entries are exactly 0/1, so bf16 storage is lossless and halves the
-    # matrix traffic of every fixpoint pass (the loop's dominant cost). The
-    # matvec result only feeds a `== 0` test: counts >= 1 can never round
-    # below 0.5 in bf16 (rounding is monotone and the smallest hit is 1.0).
-    sup = ((iou > iou_thres) & (col < row)).astype(jnp.bfloat16)  # [i, j]: j suppresses i
+    # sup entries are exactly 0/1; int8 storage is lossless and quarters the
+    # matrix traffic of every fixpoint pass (the loop's dominant cost, HBM-
+    # bound) vs f32. The int8 x int8 matvec accumulates in int32 on the MXU,
+    # so counts are exact integers.
+    sup = ((iou > iou_thres) & (col < row)).astype(jnp.int8)  # [i, j]: j suppresses i
     valid = scores > 0.0
 
     def cond(c):
@@ -79,8 +90,11 @@ def greedy_keep_mask(boxes: jax.Array, scores: jax.Array,
 
     def body(c):
         kept, _ = c
-        hit = sup @ kept.astype(jnp.bfloat16)  # MXU matvec: #kept suppressors of i
-        new = valid & (hit < 0.5)
+        # MXU matvec: #kept suppressors of i, exact int32 counts
+        hit = jnp.matmul(
+            sup, kept.astype(jnp.int8), preferred_element_type=jnp.int32
+        )
+        new = valid & (hit == 0)
         return new, jnp.any(new != kept)
 
     kept, _ = jax.lax.while_loop(cond, body, (valid, jnp.asarray(True)))
@@ -150,16 +164,27 @@ def topk1d(x: jax.Array, k: int, chunk: int = 10240):
 
 
 def _emit(cand_boxes, top_scores, cls_idx, iou_thres, max_det):
-    """Shared NMS tail: fixpoint suppression + compaction into (max_det, 6)."""
+    """Shared NMS tail: fixpoint suppression + compaction into (max_det, 6).
+
+    Compaction gathers the first max_det survivors instead of scattering all
+    K candidate rows: top_k over (K - i for kept i) yields survivor indices
+    in ascending candidate order (= descending score, the output contract),
+    touching max_det * 6 elements instead of K * 6 (the serial-tail cost
+    model, CLAUDE.md)."""
+    k = top_scores.shape[0]
     off = cand_boxes + cls_idx[:, None] * MAX_WH
     kept = greedy_keep_mask(off, top_scores, float(iou_thres))
-    rank = jnp.cumsum(kept) - 1
-    take = kept & (rank < max_det)
-    slot = jnp.where(take, rank, max_det)
+    m = min(max_det, k)
+    keep_rank = jnp.where(kept, k - jax.lax.iota(jnp.int32, k), 0)
+    rank_val, sel = jax.lax.top_k(keep_rank, m)
     rows = jnp.concatenate(
         [cand_boxes, top_scores[:, None], cls_idx[:, None]], axis=1
     )
-    out = jnp.zeros((max_det + 1, 6), rows.dtype).at[slot].set(rows)[:max_det]
+    out = rows[sel] * (rank_val[:, None] > 0)
+    if m < max_det:
+        out = jnp.concatenate(
+            [out, jnp.zeros((max_det - m, 6), out.dtype)]
+        )
     valid = out[:, 4] > 0.0
     return jnp.where(valid[:, None], out, 0.0), valid
 

@@ -20,7 +20,8 @@ import jax.numpy as jnp
 
 from edgeml_tpu.models.yolov5 import YoloV5, calibrate_bn
 from edgeml_tpu.ops.nms import (
-    PAIR_G, PAIR_T, _emit, _select_pairs_fast, _gather_rows, topk1d,
+    MAX_WH, PAIR_G, PAIR_T, _emit, _select_pairs_fast, _gather_rows,
+    _pack17, _unpack17, _use_keys, topk1d,
 )
 from edgeml_tpu.utils.synth import hash_uniform
 
@@ -47,10 +48,16 @@ def stage_pipeline(upto):
             return acc + obj.astype(jnp.float32).sum() * 1e-9 \
                 + xywh.sum() * 1e-12 + cls.astype(jnp.float32).sum() * 1e-9
 
-        def one(o, x, c, upto=upto):
+        by_key = _use_keys(cls[0], N, KB)
+
+        def one(o, x, c, upto=upto, by_key=by_key):
             best = jnp.max(c, axis=1) * o
             box_score = jnp.where((o > CONF) & (best > CONF), best, -1.0)
-            best_top, box_pre = topk1d(box_score, G + 1, chunk=N)
+            if by_key:
+                bt_k, box_pre = topk1d(_pack17(box_score), G + 1, chunk=N)
+                best_top = _unpack17(bt_k, box_pre)
+            else:
+                best_top, box_pre = topk1d(box_score, G + 1, chunk=N)
             if upto == 1:
                 return best_top.astype(jnp.float32).sum() * 1e-9 \
                     + box_pre.sum() * 1e-12
@@ -62,7 +69,7 @@ def stage_pipeline(upto):
                         + obj_pre.astype(jnp.float32).sum() * 1e-9
                         + cls_rows.astype(jnp.float32).sum() * 1e-9)
             ts, row, col, xp, ok = _select_pairs_fast(
-                o, x, c, CONF, G, min(PAIR_T, NC), K
+                o, x, c, CONF, G, min(PAIR_T, NC), K, by_key
             )
             if upto == 3:
                 return ts.astype(jnp.float32).sum() * 1e-9 \
@@ -71,8 +78,45 @@ def stage_pipeline(upto):
             bx = xp[row]
             half = bx[:, 2:4] * 0.5
             cand = jnp.concatenate([bx[:, :2] - half, bx[:, :2] + half], 1)
-            dets, valid = _emit(cand, ts.astype(jnp.float32),
-                                col.astype(jnp.float32), IOU, MAXD)
+            scores = ts.astype(jnp.float32)
+            cidx = col.astype(jnp.float32)
+            if upto >= 5:  # emit substages
+                off = cand + cidx[:, None] * MAX_WH
+                kk = scores.shape[0]
+                lo = jnp.maximum(off[:, None, :2], off[None, :, :2])
+                hi = jnp.minimum(off[:, None, 2:4], off[None, :, 2:4])
+                inter = jnp.prod(jnp.maximum(hi - lo, 0.0), axis=-1)
+                area = jnp.prod(
+                    jnp.maximum(off[:, 2:4] - off[:, :2], 0.0), axis=-1
+                )
+                iou = inter / jnp.maximum(
+                    area[:, None] + area[None, :] - inter, 1e-12
+                )
+                rr = jax.lax.broadcasted_iota(jnp.int32, (kk, kk), 0)
+                cc = jax.lax.broadcasted_iota(jnp.int32, (kk, kk), 1)
+                sup = ((iou > IOU) & (cc < rr)).astype(jnp.bfloat16)
+                valid = scores > 0.0
+                if upto == 5:  # sup build only
+                    return sup.astype(jnp.float32).sum() * 1e-9
+                if upto == 6:  # + fixed-8 fori fixpoint (no convergence test)
+                    def body(_, kept):
+                        hit = sup @ kept.astype(jnp.bfloat16)
+                        return valid & (hit < 0.5)
+                    kept = jax.lax.fori_loop(0, 8, body, valid)
+                    return kept.astype(jnp.float32).sum() * 1e-9
+                # upto == 7: + while fixpoint (the production loop)
+                def cond(cst):
+                    return cst[1]
+                def body(cst):
+                    kept, _ = cst
+                    hit = sup @ kept.astype(jnp.bfloat16)
+                    new = valid & (hit < 0.5)
+                    return new, jnp.any(new != kept)
+                kept, _ = jax.lax.while_loop(
+                    cond, body, (valid, jnp.asarray(True))
+                )
+                return kept.astype(jnp.float32).sum() * 1e-9
+            dets, valid = _emit(cand, scores, cidx, IOU, MAXD)
             return dets.sum() * 1e-9 + valid.sum() * 1e-9
 
         return acc + jnp.sum(jax.vmap(one)(obj, xywh, cls))
@@ -81,7 +125,7 @@ def stage_pipeline(upto):
 
 
 prev = 0.0
-for st in range(5):
+for st in ([int(a) for a in sys.argv[4:]] or range(5)):
     step = jax.jit(stage_pipeline(st))
     t0 = time.perf_counter()
     acc = step(jnp.zeros(()), 0)
