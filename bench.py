@@ -222,12 +222,15 @@ def run_yolo():
                 jnp.zeros((), jnp.int32))
         t0 = time.perf_counter()
         carry = step(zero, 0)
-        jax.block_until_ready(carry)
+        # float() fetches, NOT block_until_ready: on the axon backend block
+        # is a no-op for many programs (measured: a 134M-element launch
+        # "blocks" in 30 us); only a value fetch provably forces completion.
+        float(carry[1])
         log(f"yolo {name} warmup incl. compile: {time.perf_counter() - t0:.1f}s")
         t0 = time.perf_counter()
         for i in range(iters):
             carry = step(carry, 1 + i)
-        jax.block_until_ready(carry)
+        float(carry[1])
         elapsed = time.perf_counter() - t0
         nfail = int(carry[2])
         redo_s = 0.0
@@ -235,9 +238,9 @@ def run_yolo():
             from edgeml_tpu.models.infer import exact_redo
 
             held = carry[0]  # (pred, meta, hw) of the last batch
-            exact_redo(held, 1e-5, 0.6)  # compile
+            float(exact_redo(held, 1e-5, 0.6)[0].sum())  # compile + force
             tr = time.perf_counter()
-            jax.block_until_ready(exact_redo(held, 1e-5, 0.6))
+            float(exact_redo(held, 1e-5, 0.6)[0].sum())
             redo_s = time.perf_counter() - tr
             log(f"yolo {name}: {nfail}/{iters} certificate failures, "
                 f"billing {redo_s * 1e3:.1f} ms exact redo each")
@@ -289,12 +292,12 @@ def run_train():
         carry = (params, stats, opt_state, jnp.zeros(()))
         t0 = time.perf_counter()
         carry = run_one(carry, 0)
-        jax.block_until_ready(carry)
+        float(carry[3])  # value fetch — see run_yolo note on axon block
         log(f"train {name} warmup incl. compile: {time.perf_counter() - t0:.1f}s")
         t0 = time.perf_counter()
         for i in range(iters):
             carry = run_one(carry, 1 + i)
-        jax.block_until_ready(carry)
+        float(carry[3])
         ips = b * iters / (time.perf_counter() - t0)
         log(f"yolov5n TRAIN {name} (B={b}): {ips:.0f} img/s")
         out[name] = round(ips, 1)

@@ -163,17 +163,15 @@ def topk1d(x: jax.Array, k: int, chunk: int = 10240):
     return v2, i.reshape(-1)[m] + (m // kk) * chunk
 
 
-def _emit(cand_boxes, top_scores, cls_idx, iou_thres, max_det):
-    """Shared NMS tail: fixpoint suppression + compaction into (max_det, 6).
+def _compact(cand_boxes, top_scores, cls_idx, kept, max_det):
+    """Compaction of one image's survivors into (max_det, 6) + valid.
 
-    Compaction gathers the first max_det survivors instead of scattering all
-    K candidate rows: top_k over (K - i for kept i) yields survivor indices
-    in ascending candidate order (= descending score, the output contract),
-    touching max_det * 6 elements instead of K * 6 (the serial-tail cost
-    model, CLAUDE.md)."""
+    Gathers the first max_det survivors instead of scattering all K candidate
+    rows: top_k over (K - i for kept i) yields survivor indices in ascending
+    candidate order (= descending score, the output contract), touching
+    max_det * 6 elements instead of K * 6 (the serial-tail cost model,
+    CLAUDE.md)."""
     k = top_scores.shape[0]
-    off = cand_boxes + cls_idx[:, None] * MAX_WH
-    kept = greedy_keep_mask(off, top_scores, float(iou_thres))
     m = min(max_det, k)
     keep_rank = jnp.where(kept, k - jax.lax.iota(jnp.int32, k), 0)
     rank_val, sel = jax.lax.top_k(keep_rank, m)
@@ -187,6 +185,37 @@ def _emit(cand_boxes, top_scores, cls_idx, iou_thres, max_det):
         )
     valid = out[:, 4] > 0.0
     return jnp.where(valid[:, None], out, 0.0), valid
+
+
+def _emit(cand_boxes, top_scores, cls_idx, iou_thres, max_det):
+    """Shared NMS tail: fixpoint suppression + compaction into (max_det, 6)."""
+    off = cand_boxes + cls_idx[:, None] * MAX_WH
+    kept = greedy_keep_mask(off, top_scores, float(iou_thres))
+    return _compact(cand_boxes, top_scores, cls_idx, kept, max_det)
+
+
+def _emit_batch(cand_boxes, top_scores, cls_idx, iou_thres, max_det):
+    """Batched _emit over (B, K, ...) candidates.
+
+    On TPU-like backends the suppression fixpoint runs in the fused Pallas
+    kernel (ops/nms_fused.py) — bit-identical to vmap(greedy_keep_mask)
+    (verified exhaustively on-device, tools/exp_emit3.py: 0 mismatches) and
+    ~2x cheaper in-program (the XLA build materializes (K, K) intermediates
+    in HBM; the kernel keeps them in VMEM — 30.8 -> 27.4 ms serving step at
+    B=128, tools/exp_ablate3.py stage 8). CPU keeps the XLA formulation, so
+    the CPU reference path is untouched."""
+    k = top_scores.shape[-1]
+    if jax.default_backend() != "cpu" and k % 256 == 0 and k <= 2048:
+        from .nms_fused import greedy_keep_mask_fused
+
+        off = cand_boxes + cls_idx[..., None] * MAX_WH
+        kept = greedy_keep_mask_fused(off, top_scores, float(iou_thres))
+        return jax.vmap(
+            lambda cb, ts, ci, kp: _compact(cb, ts, ci, kp, max_det)
+        )(cand_boxes, top_scores, cls_idx, kept)
+    return jax.vmap(
+        lambda cb, ts, ci: _emit(cb, ts, ci, float(iou_thres), max_det)
+    )(cand_boxes, top_scores, cls_idx)
 
 
 @partial(
@@ -345,7 +374,14 @@ def _rank_pairs_exact(o, x, c, conf_thres, max_cand, by_key):
 
 PAIR_T = 16  # per-box class candidates for tail (non-head) boxes
 PAIR_B1 = 128  # head boxes whose FULL class rows enter the pool
-PAIR_G = 512  # boxes whose rows are gathered at all (tier 1 + tier 2)
+# Boxes whose rows are gathered at all (tier 1 + tier 2). The row gather is
+# the tail's dominant serial cost (~9.3 ms of the 31 ms serving step at
+# G=512, tools/exp_ablate3.py stage 2), and only max 284 / mean 153 of the
+# top-1024 boxes ever held a top-1024 pair over 2560 calibrated images
+# (both dtypes) — 384 keeps a ~100-box margin over the observed max while
+# cutting the gathered elements another 25%. Exactness is certificate-
+# protected regardless (a failure falls back to the exact full ranking).
+PAIR_G = 384
 
 
 def _select_pairs_fast(o, x, c, conf_thres, g_rows, t_rows, k, by_key):
@@ -572,9 +608,9 @@ def nms_split_batch(
         cand_boxes = jnp.concatenate(
             [bxywh[..., :2] - half, bxywh[..., :2] + half], axis=-1
         )
-        dets, valid = jax.vmap(
-            lambda cb, ts, ci: _emit(cb, ts, ci, float(iou_thres), max_det)
-        )(cand_boxes, top_scores, cls_idx)
+        dets, valid = _emit_batch(
+            cand_boxes, top_scores, cls_idx, float(iou_thres), max_det
+        )
     else:
         dets, valid = jax.vmap(
             lambda o, x, c: nms_split(

@@ -119,6 +119,40 @@ def stage_pipeline(upto):
             dets, valid = _emit(cand, scores, cidx, IOU, MAXD)
             return dets.sum() * 1e-9 + valid.sum() * 1e-9
 
+        if upto == 8:  # full pipeline with the FUSED Pallas suppressor
+            from edgeml_tpu.ops.nms_fused import greedy_keep_mask_fused
+
+            def sel(o, x, c, by_key=by_key):
+                ts, row, col, xp, ok = _select_pairs_fast(
+                    o, x, c, CONF, G, min(PAIR_T, NC), K, by_key
+                )
+                bx = xp[row]
+                half = bx[:, 2:4] * 0.5
+                cand = jnp.concatenate(
+                    [bx[:, :2] - half, bx[:, :2] + half], 1
+                )
+                return cand, ts.astype(jnp.float32), col.astype(jnp.float32)
+
+            cand, scores, cidx = jax.vmap(sel)(obj, xywh, cls)
+            off = cand + cidx[..., None] * MAX_WH
+            kept = greedy_keep_mask_fused(off, scores, IOU)
+
+            def compact(cand, scores, cidx, kept):
+                k = scores.shape[0]
+                keep_rank = jnp.where(
+                    kept, k - jax.lax.iota(jnp.int32, k), 0
+                )
+                rank_val, selx = jax.lax.top_k(keep_rank, MAXD)
+                rows = jnp.concatenate(
+                    [cand, scores[:, None], cidx[:, None]], axis=1
+                )
+                out = rows[selx] * (rank_val[:, None] > 0)
+                return out.sum() * 1e-9
+
+            return acc + jnp.sum(
+                jax.vmap(compact)(cand, scores, cidx, kept)
+            )
+
         return acc + jnp.sum(jax.vmap(one)(obj, xywh, cls))
 
     return fn
@@ -128,13 +162,16 @@ prev = 0.0
 for st in ([int(a) for a in sys.argv[4:]] or range(5)):
     step = jax.jit(stage_pipeline(st))
     t0 = time.perf_counter()
-    acc = step(jnp.zeros(()), 0)
-    acc.block_until_ready()
+    # float() fetch, NOT block_until_ready: on the axon backend block is a
+    # no-op for these programs (measured: a 134M-element IoU launch "blocks"
+    # in 30 us; only a value fetch forces completion).
+    float(step(jnp.zeros(()), 0))
     print(f"stage {st}: warmup {time.perf_counter() - t0:.1f}s", flush=True)
     t0 = time.perf_counter()
+    acc = jnp.zeros(())
     for i in range(ITERS):
         acc = step(acc, 1 + i)
-    acc.block_until_ready()
+    float(acc)
     ms = (time.perf_counter() - t0) / ITERS * 1e3
     print(
         f"stage {st}: {ms:8.2f} ms/batch  (+{ms - prev:7.2f})  "
