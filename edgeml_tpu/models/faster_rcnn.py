@@ -103,18 +103,24 @@ def roi_align_fpn(feats, boxes, image_size: int, out: int = 7, sampling: int = 2
                   chunk: int = 128):
     """Multi-scale RoIAlign: (N, 4) xyxy boxes -> (N, out, out, C).
 
-    Canonical level mapping k = floor(4 + log2(sqrt(area)/224)) clamped to the
-    FPN range; every box is aligned on every level and masked (fixed shapes).
-    feats: list of (H_l, W_l, C) maps for strides 4/8/16/32 (P2..P5) —
-    torchvision's MultiScaleRoIAlign featmap set and LevelMapper (k_min=2,
-    k_max=5).
+    Canonical level mapping k = floor(4 + log2(sqrt(area)/224)) clamped to
+    the FPN range (torchvision's MultiScaleRoIAlign LevelMapper, k_min=2,
+    k_max=5); feats: list of (H_l, W_l, C) maps for strides 4/8/16/32
+    (P2..P5).
 
-    chunk: proposals per lax.map step. The bilinear sample expansion is
-    (out, sampling, out, sampling, C) per proposal per corner — unchunked at
-    the production width (1000 proposals, C=256, 4 levels) that is a ~3 GB
-    HLO temp PER LEVEL and OOMs a 16 GB chip at batch 16 (observed);
-    chunking bounds the live expansion at ~50 MB per step with identical
-    results.
+    Each box is sampled ONLY on its assigned level, addressed through a
+    row-concatenated level pyramid (levels stacked along rows, width padded
+    to W_0, per-box row offset). The earlier every-level-then-one-hot-mask
+    form had fixed shapes too but was measured at 92% of the whole Faster
+    R-CNN serving step (862 of 940 ms/batch at B=16, tools/exp_rcnn.py) —
+    a canonically-mapped box spans only ~7-28 grid cells on its OWN level,
+    so three quarters of its bilinear gathers were masked-out waste.
+    Bit-exact vs the masked form: the one-hot sum selected exactly the
+    assigned level's contribution.
+
+    chunk: proposals per lax.map step — bounds the live
+    (out, sampling, out, sampling, C) bilinear expansion (the unchunked
+    form OOMed a 16 GB chip at batch 16 with 1000 proposals).
     """
     areas = jnp.maximum(
         (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1]), 1e-6
@@ -122,61 +128,75 @@ def roi_align_fpn(feats, boxes, image_size: int, out: int = 7, sampling: int = 2
     k = jnp.floor(4.0 + jnp.log2(jnp.sqrt(areas) / 224.0 + 1e-9))
     k = jnp.clip(k, 2.0, 5.0) - 2.0  # 0..3 over strides 4..32
 
-    def align_level(fm, stride, boxes):
-        def one(box):
-            b = box / stride
-            w = jnp.maximum(b[2] - b[0], 1.0)
-            h = jnp.maximum(b[3] - b[1], 1.0)
-            bin_h = h / out
-            bin_w = w / out
-            iy = jnp.arange(sampling) + 0.5
-            py = jnp.arange(out)
-            ys = b[1] + py[:, None] * bin_h + iy[None, :] * bin_h / sampling  # (out, s)
-            xs = b[0] + py[:, None] * bin_w + iy[None, :] * bin_w / sampling
-            H, W = fm.shape[0], fm.shape[1]
-            yc = jnp.clip(ys, 0.0, H - 1)
-            xc = jnp.clip(xs, 0.0, W - 1)
-            y0 = jnp.floor(yc).astype(jnp.int32)
-            x0 = jnp.floor(xc).astype(jnp.int32)
-            y1 = jnp.minimum(y0 + 1, H - 1)
-            x1 = jnp.minimum(x0 + 1, W - 1)
-            ly = (yc - y0)[:, :, None, None, None]  # (out, s, 1, 1, 1)
-            lx = (xc - x0)[None, None, :, :, None]  # (1, 1, out, s, 1)
-            v00 = fm[y0[:, :, None, None], x0[None, None]]  # (out, s, out, s, C)
-            v01 = fm[y0[:, :, None, None], x1[None, None]]
-            v10 = fm[y1[:, :, None, None], x0[None, None]]
-            v11 = fm[y1[:, :, None, None], x1[None, None]]
-            val = (
-                v00 * (1 - ly) * (1 - lx)
-                + v01 * (1 - ly) * lx
-                + v10 * ly * (1 - lx)
-                + v11 * ly * lx
-            )
-            return jnp.mean(val, axis=(1, 3))  # (out, out, C)
-
-        return jax.vmap(one)(boxes)
-
     n = boxes.shape[0]
     ch = feats[0].shape[-1]
     if n == 0:
         return jnp.zeros((0, out, out, ch), feats[0].dtype)
+
+    heights = [f.shape[0] for f in feats]
+    widths = [f.shape[1] for f in feats]
+    w0 = widths[0]
+    pyr = jnp.concatenate(
+        [jnp.pad(f, ((0, 0), (0, w0 - f.shape[1]), (0, 0))) for f in feats],
+        axis=0,
+    )  # (sum H_l, W_0, C)
+    row_off = np.cumsum([0] + heights[:-1])
+
+    ki = k.astype(jnp.int32)
+    stride_b = jnp.asarray(ROI_STRIDES, jnp.float32)[ki]  # (N,)
+    h_b = jnp.asarray(heights, jnp.float32)[ki]
+    w_b = jnp.asarray(widths, jnp.float32)[ki]
+    off_b = jnp.asarray(row_off, jnp.int32)[ki]
+
+    def one(box, stride, hl, wl, ro):
+        b = box / stride
+        w = jnp.maximum(b[2] - b[0], 1.0)
+        h = jnp.maximum(b[3] - b[1], 1.0)
+        bin_h = h / out
+        bin_w = w / out
+        iy = jnp.arange(sampling) + 0.5
+        py = jnp.arange(out)
+        ys = b[1] + py[:, None] * bin_h + iy[None, :] * bin_h / sampling
+        xs = b[0] + py[:, None] * bin_w + iy[None, :] * bin_w / sampling
+        yc = jnp.clip(ys, 0.0, hl - 1)
+        xc = jnp.clip(xs, 0.0, wl - 1)
+        y0 = jnp.floor(yc).astype(jnp.int32)
+        x0 = jnp.floor(xc).astype(jnp.int32)
+        hi = hl.astype(jnp.int32) - 1
+        wi = wl.astype(jnp.int32) - 1
+        y1 = jnp.minimum(y0 + 1, hi)
+        x1 = jnp.minimum(x0 + 1, wi)
+        ly = (yc - y0)[:, :, None, None, None]  # (out, s, 1, 1, 1)
+        lx = (xc - x0)[None, None, :, :, None]  # (1, 1, out, s, 1)
+        v00 = pyr[ro + y0[:, :, None, None], x0[None, None]]  # (out,s,out,s,C)
+        v01 = pyr[ro + y0[:, :, None, None], x1[None, None]]
+        v10 = pyr[ro + y1[:, :, None, None], x0[None, None]]
+        v11 = pyr[ro + y1[:, :, None, None], x1[None, None]]
+        val = (
+            v00 * (1 - ly) * (1 - lx)
+            + v01 * (1 - ly) * lx
+            + v10 * ly * (1 - lx)
+            + v11 * ly * lx
+        )
+        return jnp.mean(val, axis=(1, 3))  # (out, out, C)
+
     chunk = min(chunk, n)
     pad = -n % chunk
-    boxes_p = jnp.pad(boxes, ((0, pad), (0, 0)))
-    k_p = jnp.pad(k, (0, pad))
 
-    def one_chunk(args):
-        bx, kk = args
-        per_level = [
-            align_level(fm, s, bx) for fm, s in zip(feats, ROI_STRIDES)
-        ]  # each (chunk, out, out, C)
-        stacked = jnp.stack(per_level)  # (4, chunk, out, out, C)
-        sel = jax.nn.one_hot(kk.astype(jnp.int32), 4, axis=0)  # (4, chunk)
-        return jnp.sum(stacked * sel[:, :, None, None, None], axis=0)
+    def padded(a, fill=0.0):
+        # pad rows are discarded; fill keeps their coordinate math finite
+        return jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1),
+                       constant_values=fill)
 
     pooled = jax.lax.map(
-        one_chunk,
-        (boxes_p.reshape(-1, chunk, 4), k_p.reshape(-1, chunk)),
+        lambda args: jax.vmap(one)(*args),
+        (
+            padded(boxes).reshape(-1, chunk, 4),
+            padded(stride_b, 1.0).reshape(-1, chunk),
+            padded(h_b, 1.0).reshape(-1, chunk),
+            padded(w_b, 1.0).reshape(-1, chunk),
+            padded(off_b, 0).reshape(-1, chunk),
+        ),
     )  # (n_chunks, chunk, out, out, C)
     return pooled.reshape(-1, *pooled.shape[2:])[:n]
 
@@ -307,7 +327,9 @@ class FasterRCNN:
         """RoIAlign + head for one image's (P, 4) proposals ->
         (cls_logits (P, C), deltas (P, C, 4))."""
         pooled = roi_align_fpn(feats, boxes, self.image_size)  # (P, 7, 7, C)
-        h = pooled
+        # bf16 serving: bilinear weights are f32, so pooled promotes to f32
+        # even over bf16 feature maps — bring it back to the head's dtype
+        h = pooled.astype(params["box_head"]["convs"][0]["w"].dtype)
         for cp in params["box_head"]["convs"]:
             h = jax.nn.relu(
                 conv2d(h, cp["w"], 1, padding=((1, 1), (1, 1))) + cp["b"]
@@ -321,16 +343,34 @@ class FasterRCNN:
     # ---- full inference ---------------------------------------------------------
 
     def detect(self, params, images, anchors_per_level,
-               score_thresh: float = 0.05, nms_thresh: float = 0.5):
+               score_thresh: float = 0.05, nms_thresh: float = 0.5,
+               dtype=None):
         """images (B, S, S, 3) -> (dets (B, D, 6) [x1,y1,x2,y2,score,cls],
-        valid). cls ids are in the model's background-inclusive space."""
+        valid). cls ids are in the model's background-inclusive space.
+
+        dtype: optional compute dtype (jnp.bfloat16) for the backbone, RPN
+        head, RoIAlign gathers and box head — the serving speed knob. All
+        decision math (proposal decode/top-k/NMS, score softmax, box decode,
+        final NMS) stays f32: logits are cast back before any of it."""
+        if dtype is not None:
+            params = jax.tree_util.tree_map(
+                lambda a: a.astype(dtype)
+                if getattr(a, "dtype", None) == jnp.float32 else a, params)
+            images = images.astype(dtype)
         feats = self.backbone.apply(params["backbone"], images)
         rpn_outs = self.run_rpn(params, feats)
+        if dtype is not None:
+            rpn_outs = [
+                (c.astype(jnp.float32), r.astype(jnp.float32))
+                for c, r in rpn_outs
+            ]
         prop_fn = self.proposals(rpn_outs, anchors_per_level)
 
         def one(bi_feats, bi_levels):
             boxes, valid = prop_fn(bi_levels)
             cls, reg = self.run_box_head(params, bi_feats, boxes)
+            cls = cls.astype(jnp.float32)
+            reg = reg.astype(jnp.float32)
             scores = jax.nn.softmax(cls, -1)[:, 1:]  # (P, C-1)
             # per-class decoded boxes
             deltas = reg[:, 1:, :]  # (P, C-1, 4)

@@ -174,10 +174,11 @@ def _detect_generic(net, params, stats, images, conf_thres, iou_thres,
     Plain square resize means normalized coordinates are scale-invariant:
     x/S in model space equals x_orig/w in image space.
 
-    dtype: optional compute dtype for the SSDLite/RetinaNet backbone+heads
-    (e.g. jnp.bfloat16 — the same serving knob as YoloV5.predict; these
-    families are backbone-bound). Head outputs are cast back to f32 before
-    decode/postprocess; Faster R-CNN's multi-stage detect stays f32.
+    dtype: optional compute dtype for the backbone+heads of all three
+    families (e.g. jnp.bfloat16 — the same serving knob as YoloV5.predict).
+    Head outputs are cast back to f32 before decode/postprocess; Faster
+    R-CNN keeps every decision stage (proposal decode/NMS, score softmax,
+    box decode) in f32.
     """
 
     def cast(t):
@@ -223,7 +224,7 @@ def _detect_generic(net, params, stats, images, conf_thres, iou_thres,
         anchors = [jnp.asarray(a) for a in rpn_anchors(net.image_size)]
         dets, valid = net.detect(
             params, images, anchors,
-            score_thresh=conf_thres, nms_thresh=iou_thres,
+            score_thresh=conf_thres, nms_thresh=iou_thres, dtype=dtype,
         )
     else:
         raise TypeError(f"unknown detector family {kind}")

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.metrics import box_iou_safe
-from ..ops.nms import nms_split
+from ..ops.nms import nms_split_batch
 from .common import conv2d, conv_init
 from .resnet import ResNet50FPN
 
@@ -224,20 +224,19 @@ def retina_postprocess(
     boxes = net.decode_boxes(reg, anchors)
     boxes = jnp.clip(boxes, 0.0, net.image_size)
 
-    def one(sc, bx):
-        # split NMS core (obj == 1): no packed (N, 5+C) tensor, so no
-        # strided minor-dim slices at N=76,725 on TPU (same results as the
-        # packed non_max_suppression; see ops/nms.py nms_split)
-        xywh = jnp.concatenate(
-            [(bx[:, :2] + bx[:, 2:4]) * 0.5, bx[:, 2:4] - bx[:, :2]], axis=1
-        )
-        return nms_split(
-            jnp.ones((bx.shape[0],), sc.dtype), xywh, sc,
-            conf_thres=score_thresh, iou_thres=nms_thresh,
-            max_det=max_det, max_cand=2048, multi_label=True,
-        )
-
-    return jax.vmap(one)(scores, boxes)
+    # split NMS core (obj == 1): no packed (N, 5+C) tensor, so no strided
+    # minor-dim slices at N=76,725 on TPU. Batched pool=False entry: exact
+    # per-image pair ranking (same results as vmap(nms_split)) with the
+    # fused Pallas suppressor on TPU (ops/nms.py nms_split_batch).
+    xywh = jnp.concatenate(
+        [(boxes[..., :2] + boxes[..., 2:4]) * 0.5,
+         boxes[..., 2:4] - boxes[..., :2]], axis=-1
+    )
+    return nms_split_batch(
+        jnp.ones(scores.shape[:2], scores.dtype), xywh, scores,
+        conf_thres=score_thresh, iou_thres=nms_thresh,
+        max_det=max_det, max_cand=2048, multi_label=True, pool=False,
+    )
 
 
 def retinanet_params_from_torch_state_dict(net: RetinaNet, sd):

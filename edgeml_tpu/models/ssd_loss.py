@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.metrics import box_iou_safe
-from ..ops.nms import nms_split
+from ..ops.nms import nms_split_batch
 
 
 def match_anchors(anchors, gt_boxes, gt_valid, iou_thresh: float = 0.5):
@@ -100,27 +100,26 @@ def ssd_postprocess(
     boxes = net.decode_boxes(reg, anchors)  # (B, A, 4)
     boxes = jnp.clip(boxes, 0.0, net.image_size)
 
-    def one(sc, bx):
-        # split NMS core with obj == 1 — avoids the packed (A, 5+C) tensor
-        # and its strided minor-dim slices on TPU (same results as the
-        # packed non_max_suppression; see ops/nms.py nms_split)
-        xywh = jnp.concatenate(
-            [
-                (bx[:, :2] + bx[:, 2:4]) * 0.5,
-                bx[:, 2:4] - bx[:, :2],
-            ],
-            axis=1,
-        )
-        dets, valid = nms_split(
-            jnp.ones((bx.shape[0],), sc.dtype), xywh, sc,
-            conf_thres=score_thresh,
-            iou_thres=nms_thresh,
-            max_det=max_det,
-            max_cand=2048,
-            multi_label=True,
-        )
-        # class ids: NMS returns 0-based over the background-dropped columns.
-        dets = dets.at[:, 5].add(jnp.where(valid, 1.0, 0.0))
-        return dets, valid
-
-    return jax.vmap(one)(scores, boxes)
+    # split NMS core with obj == 1 — avoids the packed (A, 5+C) tensor and
+    # its strided minor-dim slices on TPU. Batched pool=False entry: exact
+    # per-image pair ranking (same results as vmap(nms_split)) with the
+    # fused Pallas suppressor on TPU (ops/nms.py nms_split_batch).
+    xywh = jnp.concatenate(
+        [
+            (boxes[..., :2] + boxes[..., 2:4]) * 0.5,
+            boxes[..., 2:4] - boxes[..., :2],
+        ],
+        axis=-1,
+    )
+    dets, valid = nms_split_batch(
+        jnp.ones(scores.shape[:2], scores.dtype), xywh, scores,
+        conf_thres=score_thresh,
+        iou_thres=nms_thresh,
+        max_det=max_det,
+        max_cand=2048,
+        multi_label=True,
+        pool=False,
+    )
+    # class ids: NMS returns 0-based over the background-dropped columns.
+    dets = dets.at[..., 5].add(jnp.where(valid, 1.0, 0.0))
+    return dets, valid

@@ -399,8 +399,8 @@ def _select_pairs_fast(o, x, c, conf_thres, g_rows, t_rows, k, by_key):
     CLAUDE.md cost model): at the production shape only max 284 / mean 153
     of the top-1024 boxes ever hold a pair above the k-th pair score
     (measured over 2560 calibrated random-weight images, both dtypes), so
-    g_rows=PAIR_G=512 halves the gathered elements, and the pool shrinks to
-    B1*nc + (G-B1)*T = 16.4k of the 82k pairs.
+    g_rows=PAIR_G (384) cuts the gathered elements ~2.7x, and the pool
+    shrinks to B1*nc + (G-B1)*T = 14.3k of the 82k pairs.
 
     Exactness certificate, two parts, both exact counts (vectorized
     compare-reduces), with (t, f*) the k-th selected pair's (score, flat
@@ -537,7 +537,7 @@ def _select_pairs_fast(o, x, c, conf_thres, g_rows, t_rows, k, by_key):
 @partial(
     jax.jit,
     static_argnames=("max_det", "max_cand", "multi_label", "iou_thres",
-                     "fallback"),
+                     "fallback", "pool"),
 )
 def nms_split_batch(
     obj: jax.Array,  # (B, N)
@@ -549,6 +549,7 @@ def nms_split_batch(
     max_cand: int = 1024,
     multi_label: bool = True,
     fallback: str = "cond",
+    pool: bool = True,
 ) -> tuple:
     """Batched nms_split with the fast pair-selection pool.
 
@@ -564,6 +565,11 @@ def nms_split_batch(
     True means the results are exact; False means the caller must redo this
     batch with fallback="cond" (models/infer.py run_detection does this
     host-side, off the hot path).
+
+    pool=False: skip the fast pool entirely — exact full-width pair ranking
+    per image plus the batched (fused on TPU) suppressor, no cond and no
+    certificate. Same results; the right mode for callers whose N/nc shapes
+    don't match the YOLO-tuned pool constants (SSD/RetinaNet postprocess).
     """
     b, n = obj.shape
     nc = cls.shape[-1]
@@ -574,15 +580,6 @@ def nms_split_batch(
         g = min(PAIR_G, kb)
         k = min(max_cand, kb * nc)
         by_key = _use_keys(cls, n, kb)
-        top_scores, row, col, xywh_pre, ok = jax.vmap(
-            lambda o, x, c: _select_pairs_fast(
-                o, x, c, conf_thres, g, t_rows, k, by_key
-            )
-        )(obj, xywh, cls)
-
-        def use_fast(_):
-            bxy = jnp.take_along_axis(xywh_pre, row[..., None], axis=1)
-            return top_scores, bxy, col
 
         def use_exact(_):
             # Full-width exact ranking (the contract: top-k pairs over the
@@ -596,13 +593,27 @@ def nms_split_batch(
                 )
             )(obj, xywh, cls)
 
-        all_ok = jnp.all(ok)
-        if fallback == "flag":
-            top_scores, bxywh, bcol = use_fast(None)
+        if pool:
+            top_scores, row, col, xywh_pre, ok = jax.vmap(
+                lambda o, x, c: _select_pairs_fast(
+                    o, x, c, conf_thres, g, t_rows, k, by_key
+                )
+            )(obj, xywh, cls)
+
+            def use_fast(_):
+                bxy = jnp.take_along_axis(xywh_pre, row[..., None], axis=1)
+                return top_scores, bxy, col
+
+            all_ok = jnp.all(ok)
+            if fallback == "flag":
+                top_scores, bxywh, bcol = use_fast(None)
+            else:
+                top_scores, bxywh, bcol = jax.lax.cond(
+                    all_ok, use_fast, use_exact, None
+                )
         else:
-            top_scores, bxywh, bcol = jax.lax.cond(
-                all_ok, use_fast, use_exact, None
-            )
+            all_ok = jnp.asarray(True)
+            top_scores, bxywh, bcol = use_exact(None)
         cls_idx = bcol.astype(jnp.float32)
         half = bxywh[..., 2:4] * 0.5
         cand_boxes = jnp.concatenate(

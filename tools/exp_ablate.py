@@ -81,11 +81,11 @@ prev = 0.0
 for upto, name in enumerate(names):
     fn = stage_pipeline(upto)
     acc = fn(jnp.zeros(()), 0)
-    acc.block_until_ready()
+    float(acc)  # value fetch; block_until_ready is a no-op on axon
     t0 = time.perf_counter()
     for i in range(ITERS):
         acc = fn(acc, 1 + i)
-    acc.block_until_ready()
+    float(acc)  # value fetch; block_until_ready is a no-op on axon
     dt = (time.perf_counter() - t0) / ITERS
     print(
         f"{name:18s} {dt * 1e3:8.2f} ms  (+{(dt - prev) * 1e3:7.2f})"

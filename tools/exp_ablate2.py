@@ -65,10 +65,10 @@ for variant, name in (("a", "3 gathers as-is"),
                       ("d", "packed gather no barrier")):
     fn = build(variant)
     acc = fn(jnp.zeros(()), 0)
-    acc.block_until_ready()
+    float(acc)  # value fetch; block_until_ready is a no-op on axon
     t0 = time.perf_counter()
     for i in range(ITERS):
         acc = fn(acc, 1 + i)
-    acc.block_until_ready()
+    float(acc)  # value fetch; block_until_ready is a no-op on axon
     dt = (time.perf_counter() - t0) / ITERS
     print(f"{name:28s} {dt * 1e3:8.2f} ms  {B / dt:8.0f} img/s", flush=True)

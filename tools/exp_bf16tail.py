@@ -64,11 +64,11 @@ def build(tk_bf, gather_bf, pair_bf, with_pair=True):
 
 def timed(name, fn, iters=ITERS):
     acc = fn(jnp.zeros(()), 0)
-    acc.block_until_ready()
+    float(acc)  # value fetch; block_until_ready is a no-op on axon
     t0 = time.perf_counter()
     for i in range(iters):
         acc = fn(acc, 1 + i)
-    acc.block_until_ready()
+    float(acc)  # value fetch; block_until_ready is a no-op on axon
     dt = (time.perf_counter() - t0) / iters
     print(f"{name:36s} {dt * 1e3:8.2f} ms", flush=True)
     return dt

@@ -93,13 +93,14 @@ prev = 0.0
 for st in range(4):
     step = jax.jit(stage_pipeline(st))
     t0 = time.perf_counter()
-    acc = step(jnp.zeros(()), 0)
-    acc.block_until_ready()
+    # float() fetch, NOT block_until_ready (a no-op on axon — CLAUDE.md)
+    float(step(jnp.zeros(()), 0))
     print(f"stage {st}: warmup {time.perf_counter() - t0:.1f}s", flush=True)
     t0 = time.perf_counter()
+    acc = jnp.zeros(())
     for i in range(ITERS):
         acc = step(acc, 1 + i)
-    acc.block_until_ready()
+    float(acc)
     ms = (time.perf_counter() - t0) / ITERS * 1e3
     print(
         f"stage {st}: {ms:8.2f} ms/batch  (+{ms - prev:7.2f})",

@@ -168,13 +168,14 @@ for name in names:
 
     step = jax.jit(pipe)
     t0 = time.perf_counter()
-    acc = step(jnp.zeros(()), 0)
-    acc.block_until_ready()
+    # float() fetch, NOT block_until_ready (a no-op on axon — CLAUDE.md)
+    float(step(jnp.zeros(()), 0))
     print(f"{name}: warmup {time.perf_counter() - t0:.1f}s", flush=True)
     t0 = time.perf_counter()
+    acc = jnp.zeros(())
     for i in range(ITERS):
         acc = step(acc, 1 + i)
-    acc.block_until_ready()
+    float(acc)
     ms = (time.perf_counter() - t0) / ITERS * 1e3
     if base_ms is None:
         base_ms = ms

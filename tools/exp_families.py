@@ -58,14 +58,14 @@ def bench_family(name):
 
     t0 = time.perf_counter()
     acc = step(jnp.zeros(()), 0)
-    acc.block_until_ready()
+    float(acc)  # value fetch; block_until_ready is a no-op on axon
     print(f"{name}: warmup incl. compile {time.perf_counter() - t0:.1f}s",
           flush=True)
     iters = 6
     t0 = time.perf_counter()
     for i in range(iters):
         acc = step(acc, 1 + i)
-    acc.block_until_ready()
+    float(acc)  # value fetch; block_until_ready is a no-op on axon
     dt = (time.perf_counter() - t0) / iters
     print(f"{name:12s} B={B} {DTYPE} size={size}: {dt * 1e3:8.2f} ms/batch "
           f"{B / dt:7.1f} img/s", flush=True)

@@ -20,11 +20,11 @@ N = 25200
 def timed(name, fn, *args):
     acc = jnp.zeros(())
     acc = fn(acc, jnp.float32(0.0), *args)
-    acc.block_until_ready()
+    float(acc)  # value fetch; block_until_ready is a no-op on axon
     t0 = time.perf_counter()
     for i in range(ITERS):
         acc = fn(acc, jnp.float32(i), *args)
-    acc.block_until_ready()
+    float(acc)  # value fetch; block_until_ready is a no-op on axon
     dt = (time.perf_counter() - t0) / ITERS
     print(f"{name:28s} {dt * 1e3:8.2f} ms/iter")
     return dt

@@ -73,10 +73,10 @@ for variant in ("floor", "xywh", "xywh1d", "obj", "cls", "clsconf",
                 "all3", "all_1d"):
     fn = build(variant)
     acc = fn(jnp.zeros(()), 0)
-    acc.block_until_ready()
+    float(acc)  # value fetch; block_until_ready is a no-op on axon
     t0 = time.perf_counter()
     for i in range(ITERS):
         acc = fn(acc, 1 + i)
-    acc.block_until_ready()
+    float(acc)  # value fetch; block_until_ready is a no-op on axon
     dt = (time.perf_counter() - t0) / ITERS
     print(f"{variant:10s} {dt * 1e3:8.2f} ms  {B / dt:8.0f} img/s", flush=True)

@@ -62,10 +62,10 @@ def build(variant):
 for variant in ("xla", "pallas"):
     fn = build(variant)
     acc = fn(jnp.zeros(()), 0)
-    acc.block_until_ready()
+    float(acc)  # value fetch; block_until_ready is a no-op on axon
     t0 = time.perf_counter()
     for i in range(ITERS):
         acc = fn(acc, 1 + i)
-    acc.block_until_ready()
+    float(acc)  # value fetch; block_until_ready is a no-op on axon
     dt = (time.perf_counter() - t0) / ITERS
     print(f"{variant:8s} {dt * 1e3:8.2f} ms  {B / dt:8.0f} img/s", flush=True)

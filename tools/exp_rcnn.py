@@ -76,7 +76,8 @@ def stage_pipeline(upto):
         cls, reg = jax.vmap(head_one)(pooled)
         if upto == 4:
             return acc + cls.sum() * 1e-9 + reg.sum() * 1e-12
-        dets, dvalid = net.detect(params, imgs, anchors)
+        dt = jnp.bfloat16 if upto == 6 else None
+        dets, dvalid = net.detect(params, imgs, anchors, dtype=dt)
         return acc + dets.sum() * 1e-9 + dvalid.sum() * 1e-9
 
     return fn

@@ -20,11 +20,11 @@ ITERS = 8
 def timed(name, fn, *args):
     acc = jnp.zeros(())
     acc = fn(acc, jnp.float32(0.0), *args)
-    acc.block_until_ready()
+    float(acc)  # value fetch; block_until_ready is a no-op on axon
     t0 = time.perf_counter()
     for i in range(ITERS):
         acc = fn(acc, jnp.float32(i), *args)
-    acc.block_until_ready()
+    float(acc)  # value fetch; block_until_ready is a no-op on axon
     dt = (time.perf_counter() - t0) / ITERS
     print(f"{name:34s} {dt * 1e3:8.2f} ms/iter", flush=True)
     return dt
@@ -33,11 +33,11 @@ def timed(name, fn, *args):
 def timed_nosalt(name, fn, *args):
     acc = jnp.zeros(())
     acc = fn(acc, *args)
-    acc.block_until_ready()
+    float(acc)  # value fetch; block_until_ready is a no-op on axon
     t0 = time.perf_counter()
     for _ in range(ITERS):
         acc = fn(acc, *args)
-    acc.block_until_ready()
+    float(acc)  # value fetch; block_until_ready is a no-op on axon
     dt = (time.perf_counter() - t0) / ITERS
     print(f"{name:34s} {dt * 1e3:8.2f} ms/iter", flush=True)
     return dt
@@ -71,11 +71,11 @@ def gat_nosalt(acc, c, i):
 def timed_dsalt(name, fn, *args):
     acc = jnp.zeros(())
     acc = fn(acc, salts[-1], *args)
-    acc.block_until_ready()
+    float(acc)  # value fetch; block_until_ready is a no-op on axon
     t0 = time.perf_counter()
     for i in range(ITERS):
         acc = fn(acc, salts[i], *args)
-    acc.block_until_ready()
+    float(acc)  # value fetch; block_until_ready is a no-op on axon
     dt = (time.perf_counter() - t0) / ITERS
     print(f"{name:34s} {dt * 1e3:8.2f} ms/iter", flush=True)
     return dt

@@ -20,11 +20,11 @@ B = 128
 
 def timed(name, fn, iters=8):
     acc = fn(jnp.zeros(()), 0)
-    acc.block_until_ready()
+    float(acc)  # value fetch; block_until_ready is a no-op on axon
     t0 = time.perf_counter()
     for i in range(iters):
         acc = fn(acc, 1 + i)
-    acc.block_until_ready()
+    float(acc)  # value fetch; block_until_ready is a no-op on axon
     dt = (time.perf_counter() - t0) / iters
     print(f"{name:34s} {dt * 1e3:8.2f} ms", flush=True)
     return dt

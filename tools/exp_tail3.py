@@ -128,12 +128,12 @@ for mode in modes:
     fn = build(mode)
     t0 = time.perf_counter()
     acc = fn(jnp.zeros(()), 0)
-    acc.block_until_ready()
+    float(acc)  # value fetch; block_until_ready is a no-op on axon
     comp = time.perf_counter() - t0
     t0 = time.perf_counter()
     for i in range(ITERS):
         acc = fn(acc, 1 + i)
-    acc.block_until_ready()
+    float(acc)  # value fetch; block_until_ready is a no-op on axon
     dt = (time.perf_counter() - t0) / ITERS
     print(f"{mode:18s} {dt * 1e3:8.2f} ms  {B / dt:8.0f} img/s  "
           f"(compile {comp:.0f}s)", flush=True)
