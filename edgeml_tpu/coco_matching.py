@@ -33,6 +33,15 @@ AREA_RNG = {
 }
 REC_THRS = np.linspace(0.0, 1.0, 101)
 
+# COCO 17-keypoint OKS falloff constants (published COCOeval defaults).
+KPT_OKS_SIGMAS = np.array(
+    [.26, .25, .25, .35, .35, .79, .79, .72, .72,
+     .62, .62, 1.07, 1.07, .87, .87, .89, .89]
+) / 10.0
+# COCOeval keypoints params: no "small" range, maxDets capped at 20
+KPT_AREA_NAMES = ("all", "medium", "large")
+KPT_MAX_DETS = (20,)
+
 
 def iou_xyxy(dt: np.ndarray, gt: np.ndarray, crowd: np.ndarray) -> np.ndarray:
     """(D, G) IoU matrix; for crowd gt columns the denominator is the
@@ -69,6 +78,48 @@ def mask_iou(dt_masks: np.ndarray, gt_masks: np.ndarray,
     return inter / np.maximum(union, 1e-12)
 
 
+def oks_matrix(
+    dt_kpts: np.ndarray,  # (D, K, 3) x, y, [score/vis — unused for dets]
+    gt_kpts: np.ndarray,  # (G, K, 3) x, y, visibility
+    gt_areas: np.ndarray,  # (G,) object areas (COCO gt 'area')
+    gt_boxes: np.ndarray,  # (G, 4) xyxy — fallback extent when no kpt labeled
+    sigmas: np.ndarray | None = None,
+) -> np.ndarray:
+    """(D, G) object-keypoint-similarity matrix, COCOeval computeOks
+    semantics: per-keypoint Gaussian falloff with variance (2*sigma)^2 scaled
+    by the ground truth's area, averaged over the gt's LABELED keypoints
+    (visibility > 0); a gt with no labeled keypoints instead penalizes
+    detection keypoints by their distance outside the gt box expanded by 2x
+    its size on each side."""
+    sig = np.asarray(sigmas if sigmas is not None else KPT_OKS_SIGMAS, float)
+    var = (2.0 * sig) ** 2  # (K,)
+    d, g = len(dt_kpts), len(gt_kpts)
+    out = np.zeros((d, g))
+    if not (d and g):
+        return out
+    dt_kpts = np.asarray(dt_kpts, float)
+    gt_kpts = np.asarray(gt_kpts, float)
+    xd, yd = dt_kpts[:, :, 0], dt_kpts[:, :, 1]  # (D, K)
+    for gi in range(g):
+        xg, yg, vg = gt_kpts[gi, :, 0], gt_kpts[gi, :, 1], gt_kpts[gi, :, 2]
+        labeled = vg > 0
+        if labeled.any():
+            dx, dy = xd - xg[None, :], yd - yg[None, :]
+        else:
+            bx0, by0, bx1, by1 = gt_boxes[gi]
+            w, h = bx1 - bx0, by1 - by0
+            x0, x1 = bx0 - w, bx1 + w
+            y0, y1 = by0 - h, by1 + h
+            dx = np.clip(x0 - xd, 0.0, None) + np.clip(xd - x1, 0.0, None)
+            dy = np.clip(y0 - yd, 0.0, None) + np.clip(yd - y1, 0.0, None)
+        e = (dx**2 + dy**2) / var[None, :] / (
+            float(gt_areas[gi]) + np.spacing(1)) / 2.0
+        if labeled.any():
+            e = e[:, labeled]
+        out[:, gi] = np.exp(-e).sum(axis=1) / e.shape[1]
+    return out
+
+
 def _as_mask_array(masks, n: int):
     """Normalize a per-image mask payload to an (n, H, W) bool array.
     Accepts an array, a list of dense masks, or a list of COCO RLE dicts."""
@@ -98,6 +149,7 @@ def match_image(
     ious: np.ndarray | None = None,  # optional precomputed (D, G) IoU
     gt_areas: np.ndarray | None = None,  # override box areas (segm: mask area)
     dt_areas: np.ndarray | None = None,
+    gt_force_ignore: np.ndarray | None = None,  # (G,) extra ignores (kpts)
 ) -> tuple:
     """One (image, category) matching pass.
 
@@ -113,6 +165,8 @@ def match_image(
             np.clip(gt_boxes[:, 2:] - gt_boxes[:, :2], 0.0, None), -1
         ) if g else np.zeros((0,))
     gt_ig = gt_crowd.astype(bool) | (g_area < area_rng[0]) | (g_area > area_rng[1])
+    if gt_force_ignore is not None:
+        gt_ig = gt_ig | np.asarray(gt_force_ignore, bool).reshape(-1)
     # visit non-ignored ground truths first (stable)
     g_order = np.argsort(gt_ig, kind="stable")
     dtm = np.zeros((t, d), dtype=np.int64) - 1
@@ -159,9 +213,10 @@ def evaluate_coco(
     dets: list,  # per image: (cls (n,), boxes xyxy (n, 4), scores (n,))
     gts: list,  # per image: (cls (m,), boxes xyxy (m, 4)[, iscrowd (m,)])
     iouv: np.ndarray | None = None,
-    max_dets: tuple = (1, 10, 100),
-    area_names: tuple = ("all", "small", "medium", "large"),
+    max_dets: tuple | None = None,
+    area_names: tuple | None = None,
     iou_type: str = "bbox",
+    kpt_sigmas: np.ndarray | None = None,  # per-keypoint OKS falloffs
 ) -> dict:
     """Full COCO-style evaluation over the dataset.
 
@@ -172,11 +227,31 @@ def evaluate_coco(
     each gt as a 4th element after iscrowd — an (n, H, W) bool array or a
     list of COCO RLE dicts (dataprep.coco_dataset.rle_encode format).
 
+    iou_type="keypoints" matches on OKS (the reference's CocoEvaluator
+    keypoints dispatch, coco_eval.py:63-64 + prepare_for_coco_keypoint):
+    each det tuple carries keypoints as a 4th element ((n, K, 3) x/y/score
+    rows) and each gt as a 4th element after iscrowd ((m, K, 3) x/y/vis),
+    optionally followed by (m,) object areas (COCO gt 'area'; defaults to
+    box area). Ground truths with zero labeled keypoints are ignored, area
+    ranges default to all/medium/large and maxDets to (20,), and detection
+    areas follow pycocotools loadRes: the keypoint-extent box.
+
+    max_dets / area_names default per iou_type: (1, 10, 100) over
+    all/small/medium/large for bbox and segm, COCOeval's keypoint params
+    otherwise.
+
     Returns the 12-number COCO summary plus the raw precision array
     ap[T, R, C, A, M] (R = 101 recall points), with -1 marking absent
     ground truth (excluded from means), exactly like COCOeval.accumulate.
     """
-    assert iou_type in ("bbox", "segm"), iou_type
+    assert iou_type in ("bbox", "segm", "keypoints"), iou_type
+    if max_dets is None:
+        max_dets = KPT_MAX_DETS if iou_type == "keypoints" else (1, 10, 100)
+    if area_names is None:
+        area_names = (
+            KPT_AREA_NAMES if iou_type == "keypoints"
+            else ("all", "small", "medium", "large")
+        )
     iouv = np.asarray(iouv if iouv is not None else np.round(
         np.linspace(0.5, 0.95, 10), 2))
     if iou_type == "segm":
@@ -206,6 +281,7 @@ def evaluate_coco(
         per_img = []
         areas_per_img = []  # (dt_areas, gt_areas) overrides; None for bbox
         ious_per_img = []
+        ignore_per_img = []  # extra gt ignores (keypoints: nothing labeled)
         for ii, (d, g) in enumerate(zip(dets, gts)):
             d_cls = np.asarray(d[0]).reshape(-1)
             d_box = np.asarray(d[1]).reshape(-1, 4)
@@ -232,18 +308,50 @@ def evaluate_coco(
                 ious_per_img.append(
                     mask_iou(dm, gm, gc) if len(dm) and len(gm) else None
                 )
+                ignore_per_img.append(None)
+            elif iou_type == "keypoints":
+                if len(d) <= 3 or len(g) <= 3:
+                    raise ValueError(
+                        "keypoints evaluation requires keypoint payloads on "
+                        "every detection and ground-truth tuple"
+                    )
+                dk = np.asarray(d[3], float).reshape(len(d_cls), -1, 3)[sel][order]
+                gk = np.asarray(g[3], float).reshape(len(g_cls), -1, 3)[gsel]
+                g_area = (
+                    np.asarray(g[4], float).reshape(-1)[gsel]
+                    if len(g) > 4 else np.prod(
+                        np.clip(gb[:, 2:] - gb[:, :2], 0.0, None), -1)
+                )
+                # detection area per pycocotools loadRes: keypoint extent box
+                if len(dk):
+                    ext = dk[:, :, :2].max(axis=1) - dk[:, :, :2].min(axis=1)
+                    d_area = ext[:, 0] * ext[:, 1]
+                else:
+                    d_area = np.zeros((0,))
+                areas_per_img.append((d_area, g_area))
+                ious_per_img.append(
+                    oks_matrix(dk, gk, g_area, gb, sigmas=kpt_sigmas)
+                    if len(dk) and len(gk) else None
+                )
+                # gts with no labeled keypoint never count (COCOeval sets
+                # ignore when num_keypoints == 0)
+                ignore_per_img.append(
+                    (gk[:, :, 2] > 0).sum(axis=1) == 0
+                    if len(gk) else np.zeros((0,), bool)
+                )
             else:
                 areas_per_img.append((None, None))
                 ious_per_img.append(
                     iou_xyxy(db, gb, gc) if len(db) and len(gb) else None
                 )
+                ignore_per_img.append(None)
         for ai, aname in enumerate(area_names):
             rng = AREA_RNG[aname]
             matched = [
                 match_image(db, gb, gc, iouv, rng, ious=iou,
-                            dt_areas=da, gt_areas=ga)
-                for (db, ds, gb, gc), iou, (da, ga) in zip(
-                    per_img, ious_per_img, areas_per_img
+                            dt_areas=da, gt_areas=ga, gt_force_ignore=fi)
+                for (db, ds, gb, gc), iou, (da, ga), fi in zip(
+                    per_img, ious_per_img, areas_per_img, ignore_per_img
                 )
             ]
             for mi, md in enumerate(max_dets):

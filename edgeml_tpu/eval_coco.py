@@ -39,11 +39,11 @@ class DetectionEvaluator:
 
     def __init__(self, iouv=None, style: str = "greedy", iou_type: str = "bbox"):
         assert style in ("greedy", "coco"), style
-        assert iou_type in ("bbox", "segm"), iou_type
-        if iou_type == "segm" and style != "coco":
+        assert iou_type in ("bbox", "segm", "keypoints"), iou_type
+        if iou_type != "bbox" and style != "coco":
             raise ValueError(
-                "segm evaluation runs through the COCOeval-parity path; "
-                "construct with style='coco'"
+                f"{iou_type} evaluation runs through the COCOeval-parity "
+                "path; construct with style='coco'"
             )
         self.iouv = np.asarray(iouv if iouv is not None else COCO_IOUV)
         self.style = style
@@ -57,7 +57,10 @@ class DetectionEvaluator:
         iscrowd) — the crowd flag participates only in style="coco".
         With iou_type="segm", detections carry a 4th element and ground
         truths a 4th element after iscrowd: per-instance masks as an
-        (n, H, W) bool array or a list of COCO RLE dicts.
+        (n, H, W) bool array or a list of COCO RLE dicts. With
+        iou_type="keypoints" (the reference CocoEvaluator's third dispatch,
+        coco_eval.py:63-64), the 4th elements are (n, K, 3) keypoint arrays
+        and ground truths may append (m,) object areas.
         Coordinates must share one frame; style="coco" area ranges assume
         pixels."""
 
@@ -133,14 +136,17 @@ class DetectionEvaluator:
         )
         if verbose:
             self._print_summary(result)
-            print(
-                f"Average Precision (AP) @[ area= small ] = {result['map_small']:.3f}\n"
-                f"Average Precision (AP) @[ area=medium ] = {result['map_medium']:.3f}\n"
-                f"Average Precision (AP) @[ area= large ] = {result['map_large']:.3f}\n"
-                f"Average Recall    (AR) @[ maxDets=  1 ] = {result['mar_1']:.3f}\n"
-                f"Average Recall    (AR) @[ maxDets= 10 ] = {result['mar_10']:.3f}\n"
-                f"Average Recall    (AR) @[ maxDets=100 ] = {result['mar_100']:.3f}"
-            )
+            lines = [
+                f"Average Precision (AP) @[ area={name:>6s} ] = {result[k]:.3f}"
+                for name in ("small", "medium", "large")
+                if (k := f"map_{name}") in result
+            ] + [
+                f"Average Recall    (AR) @[ maxDets={k.split('_')[1]:>3s} ] "
+                f"= {result[k]:.3f}"
+                for k in result
+                if k.startswith("mar_") and k.split("_")[1].isdigit()
+            ]
+            print("\n".join(lines))
         return result
 
     @staticmethod

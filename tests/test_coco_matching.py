@@ -268,3 +268,117 @@ def test_segm_accepts_rle_dicts_and_evaluator_wiring():
 def test_segm_requires_coco_style():
     with pytest.raises(ValueError):
         DetectionEvaluator(style="greedy", iou_type="segm")
+
+# ---------------------------------------------------------------------------
+# keypoints IoU type (the reference CocoEvaluator's keypoints dispatch,
+# coco_eval.py:63-64 + prepare_for_coco_keypoint :125-148)
+# ---------------------------------------------------------------------------
+
+
+def kp(xy_v):
+    """(K, 3) keypoint array from [(x, y, v), ...]."""
+    return np.array(xy_v, float)
+
+
+def test_oks_matrix_hand_value():
+    """One labeled keypoint, sigma=.5 (var=1), gt area 100:
+    OKS = exp(-d^2 / (2 * area)) averaged over LABELED keypoints only."""
+    from edgeml_tpu.coco_matching import oks_matrix
+
+    gt_k = kp([(0, 0, 2), (3, 4, 0)])[None]          # second kpt unlabeled
+    dt_k = kp([(1, 0, 0), (9, 9, 0)])[None]          # dx=1 on the labeled one
+    m = oks_matrix(
+        dt_k, gt_k, np.array([100.0]), np.array([box(0, 0, 10, 10)]),
+        sigmas=np.array([0.5, 0.5]),
+    )
+    assert m[0, 0] == pytest.approx(np.exp(-1.0 / 200.0), rel=1e-6)
+
+
+def test_oks_unlabeled_gt_uses_expanded_box_extent():
+    """A gt with no labeled keypoint penalizes detections by distance OUTSIDE
+    the gt box expanded by its own size on each side: inside => OKS 1."""
+    from edgeml_tpu.coco_matching import oks_matrix
+
+    gt_k = kp([(0, 0, 0), (0, 0, 0)])[None]
+    inside = kp([(15, 15, 0), (-5, -5, 0)])[None]    # within [-10, 20]
+    outside = kp([(120, 0, 0), (0, 120, 0)])[None]
+    gb = np.array([box(0, 0, 10, 10)])
+    area = np.array([100.0])
+    sig = np.array([0.5, 0.5])
+    assert oks_matrix(inside, gt_k, area, gb, sigmas=sig)[0, 0] == pytest.approx(1.0)
+    assert oks_matrix(outside, gt_k, area, gb, sigmas=sig)[0, 0] < 0.01
+
+
+def test_keypoints_perfect_prediction_ap1():
+    K = 17
+    gk = np.stack([np.arange(K) * 3.0, np.arange(K) * 2.0,
+                   np.full(K, 2.0)], axis=1)
+    gts = [(np.array([0]), np.array([box(0, 0, 48, 32)]),
+            np.zeros(1, bool), gk[None])]
+    dets = [(np.array([0]), np.array([box(0, 0, 48, 32)]),
+             np.array([0.9]), gk[None])]
+    r = evaluate_coco(dets, gts, iou_type="keypoints")
+    assert r["map"] == pytest.approx(1.0)
+    assert r["mar_20"] == pytest.approx(1.0)
+    # keypoint params: no 'small' range, maxDets capped at 20
+    assert "map_small" not in r and "mar_100" not in r
+
+
+def test_keypoints_far_prediction_fp():
+    """All keypoints displaced by 20 px on a 100 px^2 gt with sigma .5:
+    OKS = exp(-400/200) ~= .135 < .5 -> FP at every threshold."""
+    gk = kp([(0, 0, 2), (5, 5, 2)])
+    dk = gk.copy()
+    dk[:, 0] += 20.0
+    gts = [(np.array([0]), np.array([box(0, 0, 10, 10)]),
+            np.zeros(1, bool), gk[None], np.array([100.0]))]
+    dets = [(np.array([0]), np.array([box(0, 0, 10, 10)]),
+             np.array([0.9]), dk[None])]
+    r = evaluate_coco(dets, gts, iou_type="keypoints",
+                      kpt_sigmas=np.array([0.5, 0.5]))
+    assert r["map"] == pytest.approx(0.0)
+
+
+def test_keypoints_unlabeled_gt_ignored():
+    """A gt with zero labeled keypoints is ignored (COCOeval sets ignore when
+    num_keypoints == 0): its matching detection is neither TP nor FP, and with
+    no countable gt the category is excluded -> map is NaN."""
+    gk = kp([(0, 0, 0), (5, 5, 0)])
+    dk = kp([(1, 1, 0), (5, 5, 0)])                   # inside expanded box
+    gts = [(np.array([0]), np.array([box(0, 0, 10, 10)]),
+            np.zeros(1, bool), gk[None])]
+    dets = [(np.array([0]), np.array([box(0, 0, 10, 10)]),
+             np.array([0.9]), dk[None])]
+    r = evaluate_coco(dets, gts, iou_type="keypoints",
+                      kpt_sigmas=np.array([0.5, 0.5]))
+    assert np.isnan(r["map"])
+
+
+def test_keypoints_area_ranges_use_gt_area_payload():
+    """The optional (m,) gt area element drives the range split (COCO gt
+    'area' is the segmentation area, not the box area)."""
+    gk = kp([(10, 10, 2), (30, 30, 2)])
+    gts = [(np.array([0]), np.array([box(0, 0, 200, 200)]),  # large BOX
+            np.zeros(1, bool), gk[None], np.array([50.0**2]))]  # medium AREA
+    dets = [(np.array([0]), np.array([box(0, 0, 200, 200)]),
+             np.array([0.9]), gk[None])]
+    r = evaluate_coco(dets, gts, iou_type="keypoints",
+                      kpt_sigmas=np.array([0.5, 0.5]))
+    assert r["map_medium"] == pytest.approx(1.0)
+    assert np.isnan(r["map_large"])
+
+
+def test_keypoints_evaluator_wiring():
+    K = 17
+    gk = np.stack([np.arange(K) * 1.0, np.arange(K) * 1.0,
+                   np.full(K, 2.0)], axis=1)
+    ev = DetectionEvaluator(style="coco", iou_type="keypoints")
+    ev.update(
+        [(np.array([0]), np.array([box(0, 0, 16, 16)]), np.array([0.9]),
+          gk[None])],
+        [(np.array([0]), np.array([box(0, 0, 16, 16)]), np.zeros(1, bool),
+          gk[None])],
+    )
+    assert ev.summarize(verbose=False)["map"] == pytest.approx(1.0)
+    with pytest.raises(ValueError):
+        DetectionEvaluator(style="greedy", iou_type="keypoints")
