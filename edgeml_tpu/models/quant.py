@@ -1,0 +1,403 @@
+"""Post-training int8 quantization for the YOLOv5 serving trunk.
+
+The reference serves its detectors in f32/AMP on CUDA
+(/root/reference/torch_models/detect.py:72-78); on TPU the MXU runs int8
+contractions at ~2x the bf16 rate with half the operand bandwidth, so an
+int8 trunk is the TPU-native edge-deployment knob (this framework's whole
+domain is edge object detection). This module implements symmetric
+post-training quantization (PTQ):
+
+  * BatchNorm folded into conv weights/bias FIRST (exact fold — the
+    quantized walk applies no BN), so each layer is conv-int8 -> int32 ->
+    per-channel dequant + bias + SiLU -> requantize, and everything after
+    the MXU contraction is one fused elementwise epilogue.
+  * Weights: per-OUTPUT-channel symmetric scales (absmax/127). Where a
+    conv's input is a concat of tensors with different activation scales,
+    the per-group input scales are absorbed into the f32 weights BEFORE
+    weight quantization (w'[.., i in g, o] = w * s_g), which is exact, so
+    the int8 conv needs only one scalar activation scale of 1.0 and a
+    per-output-channel dequant factor.
+  * Activations: per-TENSOR symmetric scales calibrated post-training by
+    recording absmax of every producer output over calibration batches
+    (the same images_fn protocol as calibrate_bn). Producers emit int8 in
+    their own epilogue; nearest-neighbour upsample and max-pool operate on
+    int8 directly (both commute with the monotone quantizer).
+  * C3 shortcut adds run on DEQUANTIZED values inside the adding conv's
+    epilogue and requantize at the sum's own calibrated scale.
+  * The detect head (1x1 convs) consumes the int8 feature maps with
+    quantized weights too; its raw logits are dequantized to float for the
+    sigmoid/box decode, so the output contract matches YoloV5.predict
+    ((obj, xywh, cls) with f32 boxes).
+
+Accuracy is a measured knob, not a contract: int8 PTQ perturbs scores and
+boxes (use tools/exp_int8_acc.py to measure mAP deltas vs f32 on real
+weights); exactness-critical pipelines keep the f32/bf16 paths.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .common import conv2d, silu, upsample2x
+from .yolov5 import BN_EPS, STRIDES, YoloV5
+
+
+def _fold_convbn(p, s, eps=BN_EPS):
+    """Exact BN fold: returns (w, b) such that conv(x, w) + b equals
+    silu-less conv+BN eval. (fuse_convbn keeps the BN op in the walk and
+    re-applies rsqrt(1+eps); this fold is used by a walk with NO BN op.)"""
+    scale = p["g"] * jax.lax.rsqrt(s["v"] + eps)
+    return p["w"] * scale[None, None, None, :], p["b"] - s["m"] * scale
+
+
+def quantize_tensor(x, scale):
+    """Symmetric int8 quantization: round-to-nearest-even, clip to ±127."""
+    return jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
+
+
+def _quantize_weight(w, in_scales=None, in_groups=None):
+    """Per-output-channel symmetric int8 weights.
+
+    in_scales/in_groups: optional per-input-channel-group activation scales
+    to absorb into the f32 weights before quantization (exact), so a concat
+    input with heterogeneous scales still needs only one int8 contraction.
+    in_groups is a list of (start, stop) channel ranges matching in_scales.
+    """
+    w = jnp.asarray(w, jnp.float32)
+    if in_scales is not None:
+        parts = []
+        for (lo, hi), s in zip(in_groups, in_scales):
+            parts.append(w[:, :, lo:hi, :] * s)
+        w = jnp.concatenate(parts, axis=2)
+    amax = jnp.max(jnp.abs(w), axis=(0, 1, 2))  # per cout
+    wscale = jnp.maximum(amax, 1e-12) / 127.0
+    wq = quantize_tensor(w, wscale[None, None, None, :])
+    return wq, wscale
+
+
+def _qconv(xq, wq, dq_scale, bias, stride, pad):
+    """int8 x int8 -> int32 conv on the MXU, dequantized per output channel.
+
+    Returns float32 pre-activation (dq_scale already includes the input's
+    activation scale)."""
+    y = jax.lax.conv_general_dilated(
+        xq, wq, (stride, stride), ((pad, pad), (pad, pad)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    return y.astype(jnp.float32) * dq_scale + bias
+
+
+def _max_pool_i8(x, k):
+    """k x k SAME max pool on int8 (quantization is monotone, so pooling
+    before or after dequant is identical)."""
+    return jax.lax.reduce_window(
+        x, jnp.asarray(-128, jnp.int8), jax.lax.max,
+        (1, k, k, 1), (1, 1, 1, 1), "SAME",
+    )
+
+
+def _upsample2x_i8(x):
+    b, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+    return x.reshape(b, h * 2, w * 2, c)
+
+
+# ---------------------------------------------------------------------------
+# The quantized trunk walk. Mirrors YoloV5._trunk (models/yolov5.py:246-276)
+# with explicit per-node activation scales. Node naming: "l{idx}" for layer
+# outputs, "l{idx}/cv1" etc. for C3/SPPF internals, "l{idx}/m{j}/sum" for
+# shortcut sums, "in" for the input image.
+# ---------------------------------------------------------------------------
+
+
+def _calibrate_walk(net: YoloV5, fused, x, amax):
+    """One f32 forward pass over BN-folded weights, recording absmax of every
+    activation tensor into `amax` (dict name -> scalar array). Returns the
+    three head inputs. The f32 values here define the quantization grid, so
+    this walk must match the quantized walk's dataflow exactly."""
+
+    def rec(name, v):
+        a = jnp.max(jnp.abs(v))
+        amax[name] = jnp.maximum(amax.get(name, jnp.zeros(())), a)
+        return v
+
+    def convbn(name, x, fp, pad, stride):
+        w, b = fp
+        return rec(name, silu(
+            conv2d(x, w, stride, padding=((pad, pad), (pad, pad))) + b))
+
+    def c3(name, x, fp, shortcut):
+        y1 = convbn(f"{name}/cv1", x, fp["cv1"], 0, 1)
+        y2 = convbn(f"{name}/cv2", x, fp["cv2"], 0, 1)
+        for j, bp in enumerate(fp["m"]):
+            b1 = convbn(f"{name}/m{j}/cv1", y1, bp["cv1"], 0, 1)
+            b2 = convbn(f"{name}/m{j}/cv2", b1, bp["cv2"], 1, 1)
+            y1 = rec(f"{name}/m{j}/sum", y1 + b2) if shortcut else b2
+        return convbn(
+            f"{name}/cv3", jnp.concatenate([y1, y2], -1), fp["cv3"], 0, 1)
+
+    def sppf(name, x, fp):
+        y = convbn(f"{name}/cv1", x, fp["cv1"], 0, 1)
+        p1 = jax.lax.reduce_window(y, -jnp.inf, jax.lax.max,
+                                   (1, 5, 5, 1), (1, 1, 1, 1), "SAME")
+        p2 = jax.lax.reduce_window(p1, -jnp.inf, jax.lax.max,
+                                   (1, 5, 5, 1), (1, 1, 1, 1), "SAME")
+        p3 = jax.lax.reduce_window(p2, -jnp.inf, jax.lax.max,
+                                   (1, 5, 5, 1), (1, 1, 1, 1), "SAME")
+        return convbn(f"{name}/cv2", jnp.concatenate([y, p1, p2, p3], -1),
+                      fp["cv2"], 0, 1)
+
+    rec("in", x)
+    outputs = {}
+    y = x
+    for idx, kind, src, kw in net.layers():
+        name = f"l{idx}"
+        if kind == "conv":
+            y = convbn(name, y if src == -1 else outputs[src],
+                       fused[name], kw.get("p", kw["k"] // 2), kw["s"])
+        elif kind == "c3":
+            y = c3(name, y, fused[name], kw["shortcut"])
+        elif kind == "sppf":
+            y = sppf(name, y, fused[name])
+        elif kind == "up":
+            y = upsample2x(y)
+        elif kind == "concat":
+            y = jnp.concatenate([y, outputs[src[1]]], axis=-1)
+        outputs[idx] = y
+    return [outputs[i] for i in (17, 20, 23)]
+
+
+class Q8Yolo:
+    """Quantized parameter bundle + the int8 serving walk."""
+
+    def __init__(self, net: YoloV5, qparams, scales, detect_q):
+        self.net = net
+        self.qparams = qparams  # name -> {"w": int8, "dq": f32 (cout,), "b": f32}
+        self.scales = scales  # node name -> f32 scalar activation scale
+        self.detect_q = detect_q  # per level {"w": int8, "dq": (cout,), "b": ...}
+
+    # -- serving -------------------------------------------------------------
+
+    def _emit(self, name, y_f32):
+        """Requantize a producer's f32 epilogue value at its own scale."""
+        return quantize_tensor(y_f32, self.scales[name])
+
+    def _convbn_q(self, name, xq, pad, stride, emit=True):
+        qp = self.qparams[name]
+        y = silu(_qconv(xq, qp["w"], qp["dq"], qp["b"], stride, pad))
+        return self._emit(name, y) if emit else y
+
+    def _c3_q(self, name, xq, shortcut):
+        y1 = self._convbn_q(f"{name}/cv1", xq, 0, 1)
+        y2 = self._convbn_q(f"{name}/cv2", xq, 0, 1)
+        for j in self.qparams_children(name):
+            b1 = self._convbn_q(f"{name}/m{j}/cv1", y1, 0, 1)
+            if shortcut:
+                # dequantized add fused into cv2's epilogue, requantized at
+                # the sum's own calibrated scale
+                b2 = self._convbn_q(f"{name}/m{j}/cv2", b1, 1, 1, emit=False)
+                s1 = self.scales[
+                    f"{name}/cv1" if j == 0 else f"{name}/m{j - 1}/sum"]
+                y1 = self._emit(
+                    f"{name}/m{j}/sum", y1.astype(jnp.float32) * s1 + b2)
+            else:
+                y1 = self._convbn_q(f"{name}/m{j}/cv2", b1, 1, 1)
+        yc = jnp.concatenate([y1, y2], axis=-1)
+        return self._convbn_q(f"{name}/cv3", yc, 0, 1)
+
+    def qparams_children(self, name):
+        out = []
+        j = 0
+        while f"{name}/m{j}/cv1" in self.qparams:
+            out.append(j)
+            j += 1
+        return out
+
+    def _sppf_q(self, name, xq):
+        y = self._convbn_q(f"{name}/cv1", xq, 0, 1)
+        p1 = _max_pool_i8(y, 5)
+        p2 = _max_pool_i8(p1, 5)
+        p3 = _max_pool_i8(p2, 5)
+        return self._convbn_q(
+            f"{name}/cv2", jnp.concatenate([y, p1, p2, p3], -1), 0, 1)
+
+    def trunk(self, x):
+        """x: (B, S, S, 3) f32 in [0, 1]. Returns the three int8 head inputs
+        (stages 17/20/23) plus their names for scale lookup."""
+        net = self.net
+        xq = quantize_tensor(x, self.scales["in"])
+        outputs = {}
+        y = xq
+        for idx, kind, src, kw in net.layers():
+            name = f"l{idx}"
+            if kind == "conv":
+                y = self._convbn_q(
+                    name, y if src == -1 else outputs[src],
+                    kw.get("p", kw["k"] // 2), kw["s"])
+            elif kind == "c3":
+                y = self._c3_q(name, y, kw["shortcut"])
+            elif kind == "sppf":
+                y = self._sppf_q(name, y)
+            elif kind == "up":
+                y = _upsample2x_i8(y)
+            elif kind == "concat":
+                y = jnp.concatenate([y, outputs[src[1]]], axis=-1)
+            outputs[idx] = y
+        return [outputs[i] for i in (17, 20, 23)]
+
+    def predict(self, x):
+        """Full int8 serving path; same output contract as YoloV5.predict:
+        (obj (B, N), xywh (B, N, 4) f32 pixel xywh, cls (B, N, nc))."""
+        net = self.net
+        feats = self.trunk(x)
+        na, no, nc = net.na, net.no, net.num_classes
+        objs, xywhs, clss = [], [], []
+        for f, qp, stride, anchors in zip(
+            feats, self.detect_q, STRIDES, net.anchors
+        ):
+            h = _qconv(f, qp["w"], qp["dq"], qp["b"], 1, 0)
+            b, hh, ww, _ = h.shape
+            h = h.reshape(b, hh, ww, na, no)
+            gx = jnp.arange(ww, dtype=jnp.float32)
+            gy = jnp.arange(hh, dtype=jnp.float32)
+            grid = jnp.stack(jnp.meshgrid(gx, gy), axis=-1)
+            sxy = jax.nn.sigmoid(h[..., 0:2])
+            xy = (sxy * 2.0 - 0.5 + grid[:, :, None, :]) * stride
+            anc = jnp.asarray(anchors, jnp.float32)
+            wh = (jax.nn.sigmoid(h[..., 2:4]) * 2.0) ** 2 * anc[None, None]
+            objs.append(jax.nn.sigmoid(h[..., 4]).reshape(b, -1))
+            xywhs.append(jnp.concatenate([xy, wh], -1).reshape(b, -1, 4))
+            clss.append(jax.nn.sigmoid(h[..., 5:]).reshape(b, -1, nc))
+        return (
+            jnp.concatenate(objs, 1),
+            jnp.concatenate(xywhs, 1),
+            jnp.concatenate(clss, 1),
+        )
+
+
+def prepare_int8(net: YoloV5, params, stats, images_fn, iters: int = 4):
+    """Build a Q8Yolo from trained/imported weights.
+
+    images_fn: iteration -> (B, S, S, 3) calibration batch (same protocol as
+    calibrate_bn). The BN stats are folded exactly; activation scales are
+    absmax over the calibration batches.
+    """
+    # 1. exact BN fold into (w, b) pairs keyed like the quantized walk
+    fused = {}
+
+    def fold_tree(name, p, s):
+        if isinstance(p, dict) and "w" in p and "g" in p:
+            fused_entry = _fold_convbn(p, s)
+            return fused_entry
+        if isinstance(p, dict):
+            return {k: fold_tree(f"{name}/{k}", p[k], s[k]) for k in p}
+        if isinstance(p, list):
+            return [fold_tree(f"{name}/m{j}", a, b)
+                    for j, (a, b) in enumerate(zip(p, s))]
+        raise TypeError(type(p))
+
+    for idx, kind, _, _ in net.layers():
+        name = f"l{idx}"
+        if name in params:
+            fused[name] = fold_tree(name, params[name], stats[name])
+
+    # 2. calibrate activation absmax over the f32 folded walk
+    amax = {}
+    for i in range(iters):
+        batch_amax = {}
+        _calibrate_walk(net, fused, images_fn(i), batch_amax)
+        for k, v in batch_amax.items():
+            prev = amax.get(k)
+            amax[k] = v if prev is None else jnp.maximum(prev, v)
+    scales = {k: jnp.maximum(v, 1e-6) / 127.0 for k, v in amax.items()}
+
+    # 3. quantize weights, absorbing input activation scales
+    layer_table = {idx: (kind, src, kw) for idx, kind, src, kw in net.layers()}
+
+    def out_node(i):
+        """Scale-table name of layer i's OUTPUT tensor (the last conv of the
+        block — matching both walks' record/emit points)."""
+        k, _, _ = layer_table[i]
+        return {"c3": f"l{i}/cv3", "sppf": f"l{i}/cv2"}.get(k, f"l{i}")
+
+    def input_nodes(idx):
+        """Concat-aware input node list for layer idx (in channel order).
+        Every conv/c3/sppf in the layer table consumes the previous layer;
+        up/concat pseudo-layers are traversed back to their producers."""
+
+        def resolve(i):
+            k, s, _ = layer_table[i]
+            if k == "concat":
+                return resolve(i - 1 if s[0] == -1 else s[0]) + resolve(s[1])
+            if k == "up":
+                return resolve(i - 1)
+            return [out_node(i)]
+
+        if idx == 0:
+            return ["in"]
+        return resolve(idx - 1)
+
+    qparams = {}
+
+    def qw(name, fp, in_nodes, widths):
+        w, b = fp
+        groups, scl, lo = [], [], 0
+        for node, width in zip(in_nodes, widths):
+            groups.append((lo, lo + width))
+            scl.append(scales[node])
+            lo += width
+        assert lo == w.shape[2], (name, lo, w.shape)
+        wq, wscale = _quantize_weight(w, scl, groups)
+        qparams[name] = {"w": wq, "dq": wscale[None, None, None, :],
+                         "b": jnp.asarray(b, jnp.float32)}
+
+    def node_width(node):
+        """Channel width of a producer node = cout of its last conv."""
+        if node == "in":
+            return 3
+        idx = int(node[1:].split("/")[0])
+        kind, _, kw = layer_table[idx]
+        return kw["cout"] if "cout" in kw else None
+
+    for idx, kind, src, kw in net.layers():
+        name = f"l{idx}"
+        if kind == "conv":
+            nodes = input_nodes(idx)
+            qw(name, fused[name], nodes, [node_width(n) for n in nodes])
+        elif kind == "c3":
+            nodes = input_nodes(idx)
+            widths = [node_width(n) for n in nodes]
+            qw(f"{name}/cv1", fused[name]["cv1"], nodes, widths)
+            qw(f"{name}/cv2", fused[name]["cv2"], nodes, widths)
+            ch = fused[name]["cv1"][0].shape[3]
+            for j, bp in enumerate(fused[name]["m"]):
+                y1_node = (f"{name}/cv1" if j == 0
+                           else (f"{name}/m{j - 1}/sum" if kw["shortcut"]
+                                 else f"{name}/m{j - 1}/cv2"))
+                qw(f"{name}/m{j}/cv1", bp["cv1"], [y1_node], [ch])
+                qw(f"{name}/m{j}/cv2", bp["cv2"], [f"{name}/m{j}/cv1"], [ch])
+            n = len(fused[name]["m"])
+            y1_final = (f"{name}/m{n - 1}/sum" if kw["shortcut"] and n
+                        else (f"{name}/m{n - 1}/cv2" if n else f"{name}/cv1"))
+            qw(f"{name}/cv3", fused[name]["cv3"],
+               [y1_final, f"{name}/cv2"], [ch, ch])
+        elif kind == "sppf":
+            nodes = input_nodes(idx)
+            widths = [node_width(n) for n in nodes]
+            qw(f"{name}/cv1", fused[name]["cv1"], nodes, widths)
+            ch = fused[name]["cv1"][0].shape[3]
+            # y, p1, p2, p3 all share cv1's scale (max pool preserves it)
+            qw(f"{name}/cv2", fused[name]["cv2"],
+               [f"{name}/cv1"] * 4, [ch] * 4)
+
+    # 4. detect head: 1x1 convs on the stage 17/20/23 int8 features
+    detect_q = []
+    for feat_idx, p in zip((17, 20, 23), params["detect"]):
+        wq, wscale = _quantize_weight(
+            p["w"], [scales[out_node(feat_idx)]], [(0, p["w"].shape[2])])
+        detect_q.append({"w": wq, "dq": wscale[None, None, None, :],
+                         "b": jnp.asarray(p["b"], jnp.float32)})
+
+    return Q8Yolo(net, qparams, scales, detect_q)
