@@ -82,17 +82,24 @@ def _detect_batch(
     max_det: int = 300,
     multi_label: bool = True,
     dtype=None,
+    q8=None,
 ):
     """Forward + decode + NMS + unmap for one letterboxed batch.
 
     Uses the split serving path (YoloV5.predict + ops.nms.nms_split): the
     packed (B, N, 85) decode tensor never exists, so no strided minor-dim
-    slices reach the TPU. dtype optionally runs the trunk in bfloat16.
+    slices reach the TPU. dtype optionally runs the trunk in bfloat16;
+    q8 (a Q8Yolo.tree pytree) runs it int8-quantized instead (models/quant.py).
 
     Returns (dets (B, max_det, 6) rows [cls, x, y, w, h, conf] normalized to
     the ORIGINAL image size, valid (B, max_det)).
     """
-    pred = net.predict(params, stats, images, dtype=dtype)
+    if q8 is not None:
+        from .quant import q8_predict
+
+        pred = q8_predict(net, q8, images)
+    else:
+        pred = net.predict(params, stats, images, dtype=dtype)
     return _nms_unmap(pred, meta, orig_hw, conf_thres, iou_thres,
                       max_det, multi_label)
 
@@ -114,6 +121,7 @@ def _detect_pipe_step(
     max_det: int = 300,
     multi_label: bool = True,
     dtype=None,
+    q8=None,
 ):
     """One software-pipelined serving step: the trunk of THIS batch and the
     NMS tail of the PREVIOUS batch run in the same XLA program, so the
@@ -129,7 +137,12 @@ def _detect_pipe_step(
     out shifted by one batch.
     """
     ppred, pmeta, phw = prev
-    new = net.predict(params, stats, images, dtype=dtype)
+    if q8 is not None:
+        from .quant import q8_predict
+
+        new = q8_predict(net, q8, images)
+    else:
+        new = net.predict(params, stats, images, dtype=dtype)
     dets, valid, ok = _nms_unmap(ppred, pmeta, phw, conf_thres,
                                  iou_thres, max_det, multi_label,
                                  fallback="flag")
@@ -257,7 +270,9 @@ def run_detection(
 
     dtype: optional serving compute dtype (e.g. jnp.bfloat16) — the speed/
     accuracy knob of YoloV5.predict and _detect_generic; None (default)
-    keeps the bit-exact f32 path.
+    keeps the bit-exact f32 path. The string "int8" (YOLO only) serves the
+    post-training-quantized trunk (models/quant.py), calibrated on the
+    first batch of img_dir itself.
 
     mesh: optional jax.sharding.Mesh — weights are replicated and the batch
     axis of every device input is sharded over the mesh's first axis, so the
@@ -276,6 +291,24 @@ def run_detection(
     Path(save_dir).mkdir(parents=True, exist_ok=True)
     size = img_size if is_yolo else net.image_size
 
+    q8 = None
+    if dtype == "int8":
+        if not is_yolo:
+            raise ValueError("int8 serving is implemented for YOLO only")
+        from ..data.loader import decode_image
+        from .quant import prepare_int8
+
+        # calibrate on the serving distribution: the first batch of img_dir
+        calib = [
+            decode_image(os.path.join(img_dir, n))
+            for n in names[: min(batch_size, len(names), 16)]
+        ]
+        calib_arr, _ = letterbox_batch(calib, size)
+        q8 = prepare_int8(
+            net, params, stats, lambda i: jnp.asarray(calib_arr), iters=1
+        ).tree
+        dtype = None  # carry/scores are f32 on the quantized path
+
     if mesh is not None:
         from ..parallel.mesh import replicate, shard_along
 
@@ -286,6 +319,8 @@ def run_detection(
             )
         params = replicate(params, mesh)
         stats = replicate(stats, mesh)
+        if q8 is not None:
+            q8 = replicate(q8, mesh)
         place = lambda a: shard_along(jnp.asarray(a), mesh, mesh.axis_names[0])
     else:
         place = jnp.asarray
@@ -355,6 +390,7 @@ def run_detection(
             next_carry, dets, valid, ok = _detect_pipe_step(
                 net, params, stats, carry, place(arr),
                 place(meta), place(hw), conf_thres, iou_thres, dtype=dtype,
+                q8=q8,
             )
             if pending is not None:
                 save_exact(pending, dets, valid, ok, carry)
@@ -366,7 +402,7 @@ def run_detection(
                 net, params, stats, carry,
                 place(jnp.zeros((batch_size, size, size, 3), jnp.float32)),
                 place(zero[1]), place(zero[2]), conf_thres, iou_thres,
-                dtype=dtype,
+                dtype=dtype, q8=q8,
             )
             save_exact(pending, dets, valid, ok, carry)
     else:

@@ -30,8 +30,9 @@ post-training quantization (PTQ):
     ((obj, xywh, cls) with f32 boxes).
 
 Accuracy is a measured knob, not a contract: int8 PTQ perturbs scores and
-boxes (use tools/exp_int8_acc.py to measure mAP deltas vs f32 on real
-weights); exactness-critical pipelines keep the f32/bf16 paths.
+boxes (tests/test_quant.py pins the drift bounds; tools/exp_q8.py measures
+trunk throughput on the chip); exactness-critical pipelines keep the
+f32/bf16 paths.
 """
 
 from __future__ import annotations
@@ -170,13 +171,23 @@ def _calibrate_walk(net: YoloV5, fused, x, amax):
 
 
 class Q8Yolo:
-    """Quantized parameter bundle + the int8 serving walk."""
+    """Quantized parameter bundle + the int8 serving walk.
+
+    The quantized arrays live in `.tree` — a plain pytree (pass it as a
+    TRACED jit argument; see q8_predict) so jitted serving programs don't
+    bake the weights in as constants."""
 
     def __init__(self, net: YoloV5, qparams, scales, detect_q):
         self.net = net
         self.qparams = qparams  # name -> {"w": int8, "dq": f32 (cout,), "b": f32}
         self.scales = scales  # node name -> f32 scalar activation scale
         self.detect_q = detect_q  # per level {"w": int8, "dq": (cout,), "b": ...}
+
+    @property
+    def tree(self):
+        """The quantized state as one pytree (for jit/sharding plumbing)."""
+        return {"qparams": self.qparams, "scales": self.scales,
+                "detect": self.detect_q}
 
     # -- serving -------------------------------------------------------------
 
@@ -401,3 +412,12 @@ def prepare_int8(net: YoloV5, params, stats, images_fn, iters: int = 4):
                          "b": jnp.asarray(p["b"], jnp.float32)})
 
     return Q8Yolo(net, qparams, scales, detect_q)
+
+
+def q8_predict(net: YoloV5, tree, x):
+    """Functional int8 serving entry: same contract as YoloV5.predict but
+    over the quantized pytree (Q8Yolo.tree). `net` is static structure;
+    `tree` and `x` are traced, so jitted callers (models/infer.py) keep the
+    quantized weights as runtime arguments."""
+    return Q8Yolo(net, tree["qparams"], tree["scales"],
+                  tree["detect"]).predict(x)

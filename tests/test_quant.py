@@ -138,3 +138,43 @@ def test_q8_trunk_emits_int8(q8_setup):
     assert all(f.dtype == jnp.int8 for f in feats)
     # head inputs at strides 8/16/32 of the 64 px input
     assert [f.shape[1] for f in feats] == [8, 4, 2]
+
+
+def test_int8_run_detection_writes_files(tmp_path):
+    """End-to-end serving with dtype='int8' (the detect.py --int8 knob):
+    calibrates on the first batch of img_dir, runs the pipelined loop with
+    the quantized trunk, writes the standard per-image files."""
+    from edgeml_tpu.models.infer import run_detection
+    from edgeml_tpu.models.yolov5 import YoloV5
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rng = np.random.default_rng(5)
+    for i in range(5):
+        np.save(img_dir / f"im{i}.npy",
+                rng.random((40, 56, 3)).astype(np.float32))
+
+    net = YoloV5(variant="n", num_classes=8, img_size=64)
+    params, stats = net.init(jax.random.PRNGKey(2))
+    run_detection(
+        net, params, stats, str(img_dir), str(tmp_path / "q8"),
+        batch_size=4, conf_thres=1e-6, iou_thres=0.5, img_size=64,
+        dtype="int8",
+    )
+    for i in range(5):
+        rows = np.load(tmp_path / "q8" / f"im{i}.npy")
+        assert rows.ndim == 2 and rows.shape[1] == 6
+        assert np.isfinite(rows).all()
+        if len(rows):
+            assert (rows[:, 5] > 0).all() and (rows[:, 5] <= 1).all()
+            assert (rows[:, 0] >= 0).all() and (rows[:, 0] < 8).all()
+
+
+def test_int8_rejected_for_non_yolo(tmp_path):
+    from edgeml_tpu.models.infer import run_detection
+    from edgeml_tpu.models.ssdlite import SSDLite
+
+    net = SSDLite(num_classes=8, image_size=64)
+    with pytest.raises(ValueError, match="int8"):
+        run_detection(net, {}, {}, str(tmp_path), str(tmp_path / "o"),
+                      dtype="int8")

@@ -135,6 +135,10 @@ def main(opts):
         import jax.numpy as jnp
 
         dtype = jnp.bfloat16
+    if getattr(opts, "int8", False):
+        if dtype is not None:
+            raise SystemExit("--int8 and --bf16 are mutually exclusive")
+        dtype = "int8"
 
     from edgeml_tpu.models.infer import run_detection
 
@@ -178,6 +182,10 @@ def getargs():
                       help="bfloat16 serving (backbone + scores; boxes stay "
                            "f32) — the reference's --half analogue for TPU. "
                            "Not supported for faster_rcnn (stays f32).")
+    args.add_argument('--int8', action="store_true",
+                      help="int8 post-training-quantized serving trunk "
+                           "(YOLO only; calibrated on the first batch of "
+                           "img_dir). Accuracy knob — see models/quant.py.")
     return args.parse_args()
 
 
