@@ -90,6 +90,34 @@ def _qconv(xq, wq, dq_scale, bias, stride, pad):
     return y.astype(jnp.float32) * dq_scale + bias
 
 
+def _qconv_stem_s2d(xq, wq, dq_scale, bias):
+    """The RGB stem (6x6 s2 p2) as a 3x3 s1 conv over the 2x2 space-to-depth
+    input — common.conv2d_stem_s2d's transform on the int8 operands. The tap
+    set is identical and int32 accumulation is exact, so this is BIT-equal
+    to the plain quantized stem (tests/test_quant.py), unlike the float
+    version where only the summation order differs."""
+    b, h, wd, c = xq.shape
+    k = wq.shape[0]
+    kh = k // 2
+    xs = (
+        xq.reshape(b, h // 2, 2, wd // 2, 2, c)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(b, h // 2, wd // 2, 4 * c)
+    )
+    ws = (
+        wq.reshape(kh, 2, kh, 2, c, -1)
+        .transpose(0, 2, 1, 3, 4, 5)
+        .reshape(kh, kh, 4 * c, -1)
+    )
+    p = kh // 2
+    y = jax.lax.conv_general_dilated(
+        xs, ws, (1, 1), ((p, p), (p, p)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    return y.astype(jnp.float32) * dq_scale + bias
+
+
 def _max_pool_i8(x, k):
     """k x k SAME max pool on int8 (quantization is monotone, so pooling
     before or after dequant is identical)."""
@@ -197,7 +225,14 @@ class Q8Yolo:
 
     def _convbn_q(self, name, xq, pad, stride, emit=True):
         qp = self.qparams[name]
-        y = silu(_qconv(xq, qp["w"], qp["dq"], qp["b"], stride, pad))
+        even = xq.shape[1] % 2 == 0 and xq.shape[2] % 2 == 0
+        if qp["w"].shape[:3] == (6, 6, 3) and stride == 2 and pad == 2 and even:
+            # the RGB stem: space-to-depth, bit-equal in int8 (see
+            # _qconv_stem_s2d) and the same ~1.7x TPU win as the f32/bf16
+            # stem (3-channel minor dims tile terribly on the MXU)
+            y = silu(_qconv_stem_s2d(xq, qp["w"], qp["dq"], qp["b"]))
+        else:
+            y = silu(_qconv(xq, qp["w"], qp["dq"], qp["b"], stride, pad))
         return self._emit(name, y) if emit else y
 
     def _c3_q(self, name, xq, shortcut):

@@ -178,3 +178,20 @@ def test_int8_rejected_for_non_yolo(tmp_path):
     with pytest.raises(ValueError, match="int8"):
         run_detection(net, {}, {}, str(tmp_path), str(tmp_path / "o"),
                       dtype="int8")
+
+
+def test_int8_s2d_stem_bit_exact():
+    """The quantized s2d stem must be BIT-equal to the plain quantized stem:
+    identical integer tap sums, identical f32 dequant."""
+    from edgeml_tpu.models.quant import _qconv, _qconv_stem_s2d
+
+    key = jax.random.PRNGKey(21)
+    k1, k2 = jax.random.split(key)
+    xq = jax.random.randint(k1, (2, 16, 16, 3), -127, 128).astype(jnp.int8)
+    wq = jax.random.randint(k2, (6, 6, 3, 8), -127, 128).astype(jnp.int8)
+    dq = jnp.linspace(0.001, 0.01, 8)[None, None, None, :]
+    b = jnp.linspace(-1, 1, 8)
+    plain = _qconv(xq, wq, dq, b, 2, 2)
+    s2d = _qconv_stem_s2d(xq, wq, dq, b)
+    assert plain.shape == s2d.shape == (2, 8, 8, 8)
+    np.testing.assert_array_equal(np.asarray(plain), np.asarray(s2d))
