@@ -288,19 +288,27 @@ def _ap_matrix(pool, weak_sel, strong_sel, label_sel):
 
 
 def _ap_from_sel(pool, sel, nt):
-    """AP (C, T) from an already-gathered per-detection inclusion mask."""
+    """AP (C, T) from an already-gathered per-detection inclusion mask.
+
+    Layout note: the pool stores tp as (C, K, T) (T = IoU thresholds, often
+    1), but every cumsum/interp pass here runs along K — keeping K in the
+    MINOR (lane) axis matters on TPU, where a (K, 1) minor pair tiles into
+    (8, 128) blocks that are 99% padding. The transpose to (C, T, K) is a
+    loop constant (the pool is closed over, not batched), so vmapped callers
+    (the ORIE Monte-Carlo batch) pay it once, not per draw."""
     dtype = jnp.float32
     m = (sel & pool.valid).astype(dtype)  # (C, K)
+    tp_t = jnp.moveaxis(pool.tp, 2, 1)  # (C, T, K)
 
-    def per_class(tp_ck, m_c, nt_c):
-        # tp_ck: (K, T); m_c: (K,); nt_c: scalar
-        inc = tp_ck.astype(dtype) * m_c[:, None]
-        tpc = jnp.cumsum(inc, axis=0)  # (K, T)
+    def per_class(tp_tk, m_c, nt_c):
+        # tp_tk: (T, K); m_c: (K,); nt_c: scalar
+        inc = tp_tk.astype(dtype) * m_c[None, :]
+        tpc = jnp.cumsum(inc, axis=1)  # (T, K) — scan along lanes
         npred = jnp.cumsum(m_c)  # (K,)
-        fpc = npred[:, None] - tpc
-        return jax.vmap(lambda t, f: ap_interp101(t, f, nt_c), in_axes=1)(tpc, fpc)
+        fpc = npred[None, :] - tpc
+        return jax.vmap(lambda t, f: ap_interp101(t, f, nt_c))(tpc, fpc)
 
-    return jax.vmap(per_class)(pool.tp, m, nt)  # (C, T)
+    return jax.vmap(per_class)(tp_t, m, nt)  # (C, T)
 
 
 def orie_map_pair(pool: DetectionPool, in_ens: jax.Array, target: jax.Array):
