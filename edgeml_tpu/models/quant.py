@@ -37,6 +37,8 @@ f32/bf16 paths.
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
@@ -349,15 +351,23 @@ def prepare_int8(net: YoloV5, params, stats, images_fn, iters: int = 4):
         if name in params:
             fused[name] = fold_tree(name, params[name], stats[name])
 
-    # 2. calibrate activation absmax over the f32 folded walk
-    amax = {}
-    for i in range(iters):
-        batch_amax = {}
-        _calibrate_walk(net, fused, images_fn(i), batch_amax)
-        for k, v in batch_amax.items():
-            prev = amax.get(k)
-            amax[k] = v if prev is None else jnp.maximum(prev, v)
-    scales = {k: jnp.maximum(v, 1e-6) / 127.0 for k, v in amax.items()}
+    # 2. calibrate activation absmax over the f32 folded walk — ONE jitted
+    # program over the stacked calibration batches (the eager walk would be
+    # hundreds of per-op launches through the TPU tunnel)
+    batches = jnp.stack([images_fn(i) for i in range(iters)])
+
+    @partial(jax.jit, static_argnames=("net_",))
+    def calib(net_, fused_, batches_):
+        amax = {}
+        for i in range(batches_.shape[0]):
+            batch_amax = {}
+            _calibrate_walk(net_, fused_, batches_[i], batch_amax)
+            for k, v in batch_amax.items():
+                prev = amax.get(k)
+                amax[k] = v if prev is None else jnp.maximum(prev, v)
+        return {k: jnp.maximum(v, 1e-6) / 127.0 for k, v in amax.items()}
+
+    scales = calib(net, fused, batches)
 
     # 3. quantize weights, absorbing input activation scales
     layer_table = {idx: (kind, src, kw) for idx, kind, src, kw in net.layers()}
@@ -385,67 +395,74 @@ def prepare_int8(net: YoloV5, params, stats, images_fn, iters: int = 4):
             return ["in"]
         return resolve(idx - 1)
 
-    qparams = {}
+    def build_all(fused_, scales_, detect_p):
+        """Steps 3+4 as ONE jitted program (per-conv eager quantization would
+        be hundreds of tiny tunnel launches)."""
+        qparams = {}
 
-    def qw(name, fp, in_nodes, widths):
-        w, b = fp
-        groups, scl, lo = [], [], 0
-        for node, width in zip(in_nodes, widths):
-            groups.append((lo, lo + width))
-            scl.append(scales[node])
-            lo += width
-        assert lo == w.shape[2], (name, lo, w.shape)
-        wq, wscale = _quantize_weight(w, scl, groups)
-        qparams[name] = {"w": wq, "dq": wscale[None, None, None, :],
-                         "b": jnp.asarray(b, jnp.float32)}
+        def qw(name, fp, in_nodes, widths):
+            w, b = fp
+            groups, scl, lo = [], [], 0
+            for node, width in zip(in_nodes, widths):
+                groups.append((lo, lo + width))
+                scl.append(scales_[node])
+                lo += width
+            assert lo == w.shape[2], (name, lo, w.shape)
+            wq, wscale = _quantize_weight(w, scl, groups)
+            qparams[name] = {"w": wq, "dq": wscale[None, None, None, :],
+                             "b": jnp.asarray(b, jnp.float32)}
 
-    def node_width(node):
-        """Channel width of a producer node = cout of its last conv."""
-        if node == "in":
-            return 3
-        idx = int(node[1:].split("/")[0])
-        kind, _, kw = layer_table[idx]
-        return kw["cout"] if "cout" in kw else None
+        def node_width(node):
+            """Channel width of a producer node = cout of its last conv."""
+            if node == "in":
+                return 3
+            idx = int(node[1:].split("/")[0])
+            kind, _, kw = layer_table[idx]
+            return kw["cout"] if "cout" in kw else None
 
-    for idx, kind, src, kw in net.layers():
-        name = f"l{idx}"
-        if kind == "conv":
-            nodes = input_nodes(idx)
-            qw(name, fused[name], nodes, [node_width(n) for n in nodes])
-        elif kind == "c3":
-            nodes = input_nodes(idx)
-            widths = [node_width(n) for n in nodes]
-            qw(f"{name}/cv1", fused[name]["cv1"], nodes, widths)
-            qw(f"{name}/cv2", fused[name]["cv2"], nodes, widths)
-            ch = fused[name]["cv1"][0].shape[3]
-            for j, bp in enumerate(fused[name]["m"]):
-                y1_node = (f"{name}/cv1" if j == 0
-                           else (f"{name}/m{j - 1}/sum" if kw["shortcut"]
-                                 else f"{name}/m{j - 1}/cv2"))
-                qw(f"{name}/m{j}/cv1", bp["cv1"], [y1_node], [ch])
-                qw(f"{name}/m{j}/cv2", bp["cv2"], [f"{name}/m{j}/cv1"], [ch])
-            n = len(fused[name]["m"])
-            y1_final = (f"{name}/m{n - 1}/sum" if kw["shortcut"] and n
-                        else (f"{name}/m{n - 1}/cv2" if n else f"{name}/cv1"))
-            qw(f"{name}/cv3", fused[name]["cv3"],
-               [y1_final, f"{name}/cv2"], [ch, ch])
-        elif kind == "sppf":
-            nodes = input_nodes(idx)
-            widths = [node_width(n) for n in nodes]
-            qw(f"{name}/cv1", fused[name]["cv1"], nodes, widths)
-            ch = fused[name]["cv1"][0].shape[3]
-            # y, p1, p2, p3 all share cv1's scale (max pool preserves it)
-            qw(f"{name}/cv2", fused[name]["cv2"],
-               [f"{name}/cv1"] * 4, [ch] * 4)
+        for idx, kind, src, kw in net.layers():
+            name = f"l{idx}"
+            if kind == "conv":
+                nodes = input_nodes(idx)
+                qw(name, fused_[name], nodes, [node_width(n) for n in nodes])
+            elif kind == "c3":
+                nodes = input_nodes(idx)
+                widths = [node_width(n) for n in nodes]
+                qw(f"{name}/cv1", fused_[name]["cv1"], nodes, widths)
+                qw(f"{name}/cv2", fused_[name]["cv2"], nodes, widths)
+                ch = fused_[name]["cv1"][0].shape[3]
+                for j, bp in enumerate(fused_[name]["m"]):
+                    y1_node = (f"{name}/cv1" if j == 0
+                               else (f"{name}/m{j - 1}/sum" if kw["shortcut"]
+                                     else f"{name}/m{j - 1}/cv2"))
+                    qw(f"{name}/m{j}/cv1", bp["cv1"], [y1_node], [ch])
+                    qw(f"{name}/m{j}/cv2", bp["cv2"],
+                       [f"{name}/m{j}/cv1"], [ch])
+                n = len(fused_[name]["m"])
+                y1_final = (f"{name}/m{n - 1}/sum" if kw["shortcut"] and n
+                            else (f"{name}/m{n - 1}/cv2" if n
+                                  else f"{name}/cv1"))
+                qw(f"{name}/cv3", fused_[name]["cv3"],
+                   [y1_final, f"{name}/cv2"], [ch, ch])
+            elif kind == "sppf":
+                nodes = input_nodes(idx)
+                widths = [node_width(n) for n in nodes]
+                qw(f"{name}/cv1", fused_[name]["cv1"], nodes, widths)
+                ch = fused_[name]["cv1"][0].shape[3]
+                # y, p1, p2, p3 all share cv1's scale (max pool keeps it)
+                qw(f"{name}/cv2", fused_[name]["cv2"],
+                   [f"{name}/cv1"] * 4, [ch] * 4)
 
-    # 4. detect head: 1x1 convs on the stage 17/20/23 int8 features
-    detect_q = []
-    for feat_idx, p in zip((17, 20, 23), params["detect"]):
-        wq, wscale = _quantize_weight(
-            p["w"], [scales[out_node(feat_idx)]], [(0, p["w"].shape[2])])
-        detect_q.append({"w": wq, "dq": wscale[None, None, None, :],
-                         "b": jnp.asarray(p["b"], jnp.float32)})
+        # 4. detect head: 1x1 convs on the stage 17/20/23 int8 features
+        detect_q = []
+        for feat_idx, p in zip((17, 20, 23), detect_p):
+            wq, wscale = _quantize_weight(
+                p["w"], [scales_[out_node(feat_idx)]], [(0, p["w"].shape[2])])
+            detect_q.append({"w": wq, "dq": wscale[None, None, None, :],
+                             "b": jnp.asarray(p["b"], jnp.float32)})
+        return qparams, detect_q
 
+    qparams, detect_q = jax.jit(build_all)(fused, scales, params["detect"])
     return Q8Yolo(net, qparams, scales, detect_q)
 
 
