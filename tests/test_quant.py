@@ -195,3 +195,32 @@ def test_int8_s2d_stem_bit_exact():
     s2d = _qconv_stem_s2d(xq, wq, dq, b)
     assert plain.shape == s2d.shape == (2, 8, 8, 8)
     np.testing.assert_array_equal(np.asarray(plain), np.asarray(s2d))
+
+
+def test_int8_run_detection_sharded_matches_single(tmp_path):
+    """--int8 with --data-parallel: q8 pytree replicated over the mesh,
+    batch sharded — files must match the single-device int8 run exactly
+    (same calibration batch, same integer arithmetic)."""
+    from edgeml_tpu.models.infer import run_detection
+    from edgeml_tpu.models.yolov5 import YoloV5
+    from edgeml_tpu.parallel import make_mesh
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rng = np.random.default_rng(13)
+    for i in range(9):
+        np.save(img_dir / f"im{i}.npy",
+                rng.random((40, 56, 3)).astype(np.float32))
+
+    net = YoloV5(variant="n", num_classes=8, img_size=64)
+    params, stats = net.init(jax.random.PRNGKey(2))
+    kw = dict(batch_size=8, conf_thres=1e-6, iou_thres=0.5, img_size=64,
+              dtype="int8")
+    run_detection(net, params, stats, str(img_dir),
+                  str(tmp_path / "single"), **kw)
+    run_detection(net, params, stats, str(img_dir),
+                  str(tmp_path / "sharded"), mesh=make_mesh(("dp",)), **kw)
+    for i in range(9):
+        a = np.load(tmp_path / "single" / f"im{i}.npy")
+        b = np.load(tmp_path / "sharded" / f"im{i}.npy")
+        np.testing.assert_allclose(a, b, atol=1e-5)
