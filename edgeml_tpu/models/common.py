@@ -151,10 +151,17 @@ def silu(x):
 
 
 def max_pool_same(x, k: int, stride: int = 1):
-    """k x k max pool, stride s, SAME padding (NHWC)."""
+    """k x k max pool, stride s, SAME padding (NHWC). Dtype-generic: the
+    identity is -inf for floats and the type minimum for integers (the int8
+    quantized walk pools int8 directly — max commutes with the monotone
+    quantizer)."""
+    if jnp.issubdtype(x.dtype, jnp.floating):
+        init = -jnp.inf
+    else:
+        init = jnp.asarray(jnp.iinfo(x.dtype).min, x.dtype)
     return jax.lax.reduce_window(
         x,
-        -jnp.inf,
+        init,
         jax.lax.max,
         (1, k, k, 1),
         (1, stride, stride, 1),

@@ -42,7 +42,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from .common import conv2d, silu, upsample2x
+from .common import conv2d, max_pool_same, silu, upsample2x
 from .yolov5 import BN_EPS, STRIDES, YoloV5
 
 
@@ -118,21 +118,6 @@ def _qconv_stem_s2d(xq, wq, dq_scale, bias):
         preferred_element_type=jnp.int32,
     )
     return y.astype(jnp.float32) * dq_scale + bias
-
-
-def _max_pool_i8(x, k):
-    """k x k SAME max pool on int8 (quantization is monotone, so pooling
-    before or after dequant is identical)."""
-    return jax.lax.reduce_window(
-        x, jnp.asarray(-128, jnp.int8), jax.lax.max,
-        (1, k, k, 1), (1, 1, 1, 1), "SAME",
-    )
-
-
-def _upsample2x_i8(x):
-    b, h, w, c = x.shape
-    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
-    return x.reshape(b, h * 2, w * 2, c)
 
 
 # ---------------------------------------------------------------------------
@@ -265,9 +250,9 @@ class Q8Yolo:
 
     def _sppf_q(self, name, xq):
         y = self._convbn_q(f"{name}/cv1", xq, 0, 1)
-        p1 = _max_pool_i8(y, 5)
-        p2 = _max_pool_i8(p1, 5)
-        p3 = _max_pool_i8(p2, 5)
+        p1 = max_pool_same(y, 5)
+        p2 = max_pool_same(p1, 5)
+        p3 = max_pool_same(p2, 5)
         return self._convbn_q(
             f"{name}/cv2", jnp.concatenate([y, p1, p2, p3], -1), 0, 1)
 
@@ -289,7 +274,7 @@ class Q8Yolo:
             elif kind == "sppf":
                 y = self._sppf_q(name, y)
             elif kind == "up":
-                y = _upsample2x_i8(y)
+                y = upsample2x(y)
             elif kind == "concat":
                 y = jnp.concatenate([y, outputs[src[1]]], axis=-1)
             outputs[idx] = y
@@ -297,7 +282,14 @@ class Q8Yolo:
 
     def predict(self, x):
         """Full int8 serving path; same output contract as YoloV5.predict:
-        (obj (B, N), xywh (B, N, 4) f32 pixel xywh, cls (B, N, nc))."""
+        (obj (B, N), xywh (B, N, 4) f32 pixel xywh, cls (B, N, nc)).
+
+        The head follows YoloV5.predict's split-weight scheme — per-component
+        1x1 convs on contiguous output-channel groups (weights, dq scales
+        and biases slice independently per output channel) — so no (.., 85)
+        minor-dim activation slice ever reaches the TPU (CLAUDE.md: one such
+        slice costs more than the whole YOLOv5n backbone). Decode itself is
+        YoloV5.decode_level_split, shared with the f32/bf16 path."""
         net = self.net
         feats = self.trunk(x)
         na, no, nc = net.na, net.no, net.num_classes
@@ -305,19 +297,27 @@ class Q8Yolo:
         for f, qp, stride, anchors in zip(
             feats, self.detect_q, STRIDES, net.anchors
         ):
-            h = _qconv(f, qp["w"], qp["dq"], qp["b"], 1, 0)
-            b, hh, ww, _ = h.shape
-            h = h.reshape(b, hh, ww, na, no)
-            gx = jnp.arange(ww, dtype=jnp.float32)
-            gy = jnp.arange(hh, dtype=jnp.float32)
-            grid = jnp.stack(jnp.meshgrid(gx, gy), axis=-1)
-            sxy = jax.nn.sigmoid(h[..., 0:2])
-            xy = (sxy * 2.0 - 0.5 + grid[:, :, None, :]) * stride
-            anc = jnp.asarray(anchors, jnp.float32)
-            wh = (jax.nn.sigmoid(h[..., 2:4]) * 2.0) ** 2 * anc[None, None]
-            objs.append(jax.nn.sigmoid(h[..., 4]).reshape(b, -1))
-            xywhs.append(jnp.concatenate([xy, wh], -1).reshape(b, -1, 4))
-            clss.append(jax.nn.sigmoid(h[..., 5:]).reshape(b, -1, nc))
+            w = qp["w"].reshape(1, 1, -1, na, no)
+            dq = qp["dq"].reshape(na, no)
+            bias = qp["b"].reshape(na, no)
+
+            def comp(sl, w=w, dq=dq, bias=bias, f=f):
+                wi = w[..., sl]
+                wi = wi.reshape(1, 1, wi.shape[2], -1)
+                return _qconv(
+                    f, wi, dq[:, sl].reshape(-1), bias[:, sl].reshape(-1),
+                    1, 0,
+                )
+
+            h_obj = comp(4)
+            h_xy = comp(slice(0, 2))
+            h_wh = comp(slice(2, 4))
+            h_cls = comp(slice(5, no))
+            o, xw, cl = net.decode_level_split(
+                h_xy, h_wh, h_obj, h_cls, stride, anchors, na, nc)
+            objs.append(o)
+            xywhs.append(xw)
+            clss.append(cl)
         return (
             jnp.concatenate(objs, 1),
             jnp.concatenate(xywhs, 1),
@@ -393,6 +393,11 @@ def prepare_int8(net: YoloV5, params, stats, images_fn, iters: int = 4):
 
         if idx == 0:
             return ["in"]
+        # The serving/calibration walks route conv inputs via `src`; this
+        # scale resolution assumes the table's universal src == -1. A future
+        # variant with a non-previous conv source must extend resolve() too —
+        # fail loudly instead of absorbing the wrong activation scale.
+        assert layer_table[idx][1] == -1, (idx, layer_table[idx])
         return resolve(idx - 1)
 
     def build_all(fused_, scales_, detect_p):

@@ -291,6 +291,31 @@ class YoloV5:
             heads.append(h.reshape(b, hh, ww, self.na, self.no))
         return heads, new_stats, tap_out
 
+    @staticmethod
+    def decode_level_split(h_xy, h_wh, h_obj, h_cls, stride, anchors, na, nc):
+        """Anchor decode for one level from SPLIT head components (each a
+        separate contiguous conv output — no (.., 85) minor-dim slicing).
+        h_xy/h_wh must be float32 (+bias applied); h_obj/h_cls stay in their
+        incoming dtype (the serving score path). Shared by the f32/bf16 path
+        (predict) and the int8 path (quant.Q8Yolo.predict) so the box
+        parameterization cannot drift between them.
+
+        Returns (obj (B, HWna), xywh (B, HWna, 4) f32, cls (B, HWna, nc))."""
+        b, hh, ww = h_obj.shape[:3]
+        gx = jnp.arange(ww, dtype=jnp.float32)
+        gy = jnp.arange(hh, dtype=jnp.float32)
+        grid = jnp.stack(jnp.meshgrid(gx, gy), axis=-1)  # (H, W, 2)
+        sxy = jax.nn.sigmoid(h_xy).reshape(b, hh, ww, na, 2)
+        xy = (sxy * 2.0 - 0.5 + grid[:, :, None, :]) * stride
+        anc = jnp.asarray(anchors, jnp.float32)
+        swh = jax.nn.sigmoid(h_wh).reshape(b, hh, ww, na, 2)
+        wh = (swh * 2.0) ** 2 * anc[None, None, :, :]
+        return (
+            jax.nn.sigmoid(h_obj).reshape(b, -1),
+            jnp.concatenate([xy, wh], -1).reshape(b, -1, 4),
+            jax.nn.sigmoid(h_cls).reshape(b, -1, nc),
+        )
+
     def predict(self, params, stats, x, *, dtype=None):
         """Serving path: trunk + SPLIT head convs + anchor decode, returning
         contiguous per-component arrays
@@ -343,18 +368,11 @@ class YoloV5:
                 .astype(jnp.float32) + bias[:, 2:4].reshape(-1).astype(jnp.float32)
             h_cls = conv2d(f, w[..., 5:].reshape(1, 1, -1, na * nc), 1) \
                 + bias[:, 5:].reshape(-1)
-            b, hh, ww, _ = h_obj.shape
-            gx = jnp.arange(ww, dtype=jnp.float32)
-            gy = jnp.arange(hh, dtype=jnp.float32)
-            grid = jnp.stack(jnp.meshgrid(gx, gy), axis=-1)  # (H, W, 2)
-            sxy = jax.nn.sigmoid(h_xy).reshape(b, hh, ww, na, 2)
-            xy = (sxy * 2.0 - 0.5 + grid[:, :, None, :]) * stride
-            anc = jnp.asarray(anchors, jnp.float32)
-            swh = jax.nn.sigmoid(h_wh).reshape(b, hh, ww, na, 2)
-            wh = (swh * 2.0) ** 2 * anc[None, None, :, :]
-            objs.append(jax.nn.sigmoid(h_obj).reshape(b, -1))
-            xywhs.append(jnp.concatenate([xy, wh], -1).reshape(b, -1, 4))
-            clss.append(jax.nn.sigmoid(h_cls).reshape(b, -1, nc))
+            o, xw, cl = self.decode_level_split(
+                h_xy, h_wh, h_obj, h_cls, stride, anchors, na, nc)
+            objs.append(o)
+            xywhs.append(xw)
+            clss.append(cl)
         return (
             jnp.concatenate(objs, 1),
             jnp.concatenate(xywhs, 1),
