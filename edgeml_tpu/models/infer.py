@@ -97,7 +97,7 @@ def _detect_batch(
     if q8 is not None:
         from .quant import q8_predict
 
-        pred = q8_predict(net, q8, images)
+        pred = q8_predict(net, q8, images, score_dtype=dtype)
     else:
         pred = net.predict(params, stats, images, dtype=dtype)
     return _nms_unmap(pred, meta, orig_hw, conf_thres, iou_thres,
@@ -140,7 +140,7 @@ def _detect_pipe_step(
     if q8 is not None:
         from .quant import q8_predict
 
-        new = q8_predict(net, q8, images)
+        new = q8_predict(net, q8, images, score_dtype=dtype)
     else:
         new = net.predict(params, stats, images, dtype=dtype)
     dets, valid, ok = _nms_unmap(ppred, pmeta, phw, conf_thres,
@@ -292,12 +292,16 @@ def run_detection(
     size = img_size if is_yolo else net.image_size
 
     q8 = None
-    if dtype == "int8":
+    if isinstance(dtype, str) and dtype.startswith("int8"):
         if not is_yolo:
             raise ValueError("int8 serving is implemented for YOLO only")
         from ..data.loader import decode_image
         from .quant import prepare_int8
 
+        # "int8" keeps f32 scores; "int8-bf16" casts the dequantized obj/cls
+        # logits to bfloat16, enabling the keyed bf16 NMS tail (the fastest
+        # tail) behind the int8 trunk.
+        score_dt = jnp.bfloat16 if dtype == "int8-bf16" else None
         # calibrate on the serving distribution: the first batch of img_dir
         calib = [
             decode_image(os.path.join(img_dir, n))
@@ -307,7 +311,7 @@ def run_detection(
         q8 = prepare_int8(
             net, params, stats, lambda i: jnp.asarray(calib_arr), iters=1
         ).tree
-        dtype = None  # carry/scores are f32 on the quantized path
+        dtype = score_dt  # the carry/score dtype on the quantized path
 
     if mesh is not None:
         from ..parallel.mesh import replicate, shard_along

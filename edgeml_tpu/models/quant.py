@@ -280,7 +280,7 @@ class Q8Yolo:
             outputs[idx] = y
         return [outputs[i] for i in (17, 20, 23)]
 
-    def predict(self, x):
+    def predict(self, x, score_dtype=None):
         """Full int8 serving path; same output contract as YoloV5.predict:
         (obj (B, N), xywh (B, N, 4) f32 pixel xywh, cls (B, N, nc)).
 
@@ -289,7 +289,12 @@ class Q8Yolo:
         and biases slice independently per output channel) — so no (.., 85)
         minor-dim activation slice ever reaches the TPU (CLAUDE.md: one such
         slice costs more than the whole YOLOv5n backbone). Decode itself is
-        YoloV5.decode_level_split, shared with the f32/bf16 path."""
+        YoloV5.decode_level_split, shared with the f32/bf16 path.
+
+        score_dtype (e.g. bfloat16) casts the dequantized obj/cls logits
+        before the sigmoid — the int8-trunk analogue of predict(dtype=bf16)'s
+        score path, enabling the keyed bf16 NMS tail (ops/nms.py _use_keys)
+        downstream. Box logits always stay float32."""
         net = self.net
         feats = self.trunk(x)
         na, no, nc = net.na, net.no, net.num_classes
@@ -313,6 +318,9 @@ class Q8Yolo:
             h_xy = comp(slice(0, 2))
             h_wh = comp(slice(2, 4))
             h_cls = comp(slice(5, no))
+            if score_dtype is not None:
+                h_obj = h_obj.astype(score_dtype)
+                h_cls = h_cls.astype(score_dtype)
             o, xw, cl = net.decode_level_split(
                 h_xy, h_wh, h_obj, h_cls, stride, anchors, na, nc)
             objs.append(o)
@@ -471,10 +479,11 @@ def prepare_int8(net: YoloV5, params, stats, images_fn, iters: int = 4):
     return Q8Yolo(net, qparams, scales, detect_q)
 
 
-def q8_predict(net: YoloV5, tree, x):
+def q8_predict(net: YoloV5, tree, x, score_dtype=None):
     """Functional int8 serving entry: same contract as YoloV5.predict but
     over the quantized pytree (Q8Yolo.tree). `net` is static structure;
     `tree` and `x` are traced, so jitted callers (models/infer.py) keep the
-    quantized weights as runtime arguments."""
+    quantized weights as runtime arguments. score_dtype: see
+    Q8Yolo.predict."""
     return Q8Yolo(net, tree["qparams"], tree["scales"],
-                  tree["detect"]).predict(x)
+                  tree["detect"]).predict(x, score_dtype=score_dtype)

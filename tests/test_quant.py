@@ -224,3 +224,55 @@ def test_int8_run_detection_sharded_matches_single(tmp_path):
         a = np.load(tmp_path / "single" / f"im{i}.npy")
         b = np.load(tmp_path / "sharded" / f"im{i}.npy")
         np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_q8_predict_bf16_scores(q8_setup):
+    """score_dtype=bfloat16 (the --int8 --bf16 combination): obj/cls come
+    out bfloat16 (enabling the keyed bf16 NMS tail downstream), boxes stay
+    f32 and BIT-equal to the f32-score q8 path (the cast touches only the
+    obj/cls logits), and scores differ from it only by bf16 rounding."""
+    net, _, _, q8 = q8_setup
+    x = jax.random.uniform(jax.random.PRNGKey(13), (2, 64, 64, 3))
+    obj, xywh, cls = q8.predict(x)
+    bobj, bxywh, bcls = q8.predict(x, score_dtype=jnp.bfloat16)
+    assert bobj.dtype == jnp.bfloat16 and bcls.dtype == jnp.bfloat16
+    assert bxywh.dtype == jnp.float32
+    np.testing.assert_array_equal(np.asarray(bxywh), np.asarray(xywh))
+    # sigmoid(bf16 logit) in bf16: <= 1 ulp of the logit + 1 ulp of the
+    # output, ~2^-7 relative each — 0.02 absolute covers it comfortably
+    assert float(jnp.max(jnp.abs(bobj.astype(jnp.float32) - obj))) < 0.02
+    assert float(jnp.max(jnp.abs(bcls.astype(jnp.float32) - cls))) < 0.02
+
+
+def test_int8_bf16_run_detection_matches_int8(tmp_path):
+    """dtype="int8-bf16" end to end: same files as dtype="int8" up to bf16
+    score rounding (boxes identical; conf within bf16 ulp; an occasional
+    candidate may enter/leave the 1e-6-threshold pool at the rounding
+    boundary, so compare per-file top rows by score)."""
+    from edgeml_tpu.models.infer import run_detection
+    from edgeml_tpu.models.yolov5 import YoloV5
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rng = np.random.default_rng(17)
+    for i in range(5):
+        np.save(img_dir / f"im{i}.npy",
+                rng.random((48, 40, 3)).astype(np.float32))
+
+    net = YoloV5(variant="n", num_classes=8, img_size=64)
+    params, stats = net.init(jax.random.PRNGKey(2))
+    kw = dict(batch_size=4, conf_thres=1e-4, iou_thres=0.5, img_size=64)
+    run_detection(net, params, stats, str(img_dir), str(tmp_path / "i8"),
+                  dtype="int8", **kw)
+    run_detection(net, params, stats, str(img_dir), str(tmp_path / "i8b"),
+                  dtype="int8-bf16", **kw)
+    for i in range(5):
+        a = np.load(tmp_path / "i8" / f"im{i}.npy")
+        b = np.load(tmp_path / "i8b" / f"im{i}.npy")
+        n = min(len(a), len(b), 8)
+        if n == 0:
+            continue
+        # same top boxes (cls + geometry exact, conf to bf16 rounding)
+        np.testing.assert_array_equal(a[:n, 0], b[:n, 0])
+        np.testing.assert_allclose(a[:n, 1:5], b[:n, 1:5], atol=2e-3)
+        np.testing.assert_allclose(a[:n, 5], b[:n, 5], atol=0.02)

@@ -102,6 +102,7 @@ def main():
         ("bf16", jnp.bfloat16, False),
         ("f32", None, False),
         ("int8", None, True),
+        ("int8-bf16", jnp.bfloat16, True),  # int8 trunk + keyed bf16 tail
     ):
         @jax.jit
         def step(carry, seed, dt=dt, use_q8=use_q8):

@@ -136,9 +136,9 @@ def main(opts):
 
         dtype = jnp.bfloat16
     if getattr(opts, "int8", False):
-        if dtype is not None:
-            raise SystemExit("--int8 and --bf16 are mutually exclusive")
-        dtype = "int8"
+        # --int8 --bf16 composes: int8-quantized trunk with the bfloat16
+        # score/NMS tail (the fastest combination on TPU).
+        dtype = "int8-bf16" if dtype is not None else "int8"
 
     from edgeml_tpu.models.infer import run_detection
 
@@ -185,7 +185,9 @@ def getargs():
     args.add_argument('--int8', action="store_true",
                       help="int8 post-training-quantized serving trunk "
                            "(YOLO only; calibrated on the first batch of "
-                           "img_dir). Accuracy knob — see models/quant.py.")
+                           "img_dir). Accuracy knob — see models/quant.py. "
+                           "Composes with --bf16 (int8 trunk + bf16 score "
+                           "tail).")
     return args.parse_args()
 
 
