@@ -264,6 +264,13 @@ def nms_split(
     return _emit(cand_boxes, top_scores, cls_idx, iou_thres, max_det)
 
 
+# Experiment switch (tools/exp_gather7.py): route the cls row gather through
+# a one-hot MXU matmul instead of a dynamic gather. Only valid for bf16 cls
+# (DEFAULT-precision matmuls round operands to bfloat16 — lossless there,
+# corrupting for f32 payloads).
+_GATHER_ONEHOT = False
+
+
 def _gather_rows(box_pre, xywh, obj, cls):
     """Gather (xywh, obj, cls) rows for the selected boxes as separate
     NARROW dynamic gathers. Exactness note: a one-hot f32 matmul looks like
@@ -271,7 +278,9 @@ def _gather_rows(box_pre, xywh, obj, cls):
     default precision (box coordinates near 640 lose whole pixels), and only
     Precision.HIGHEST is bit-exact, at which point it no longer beats the
     dynamic-gather lowering (measured: narrow gathers 57.4 ms vs HIGHEST
-    one-hot 58.7 ms per 128-image batch).
+    one-hot 58.7 ms per 128-image batch). For the bf16 cls matrix the
+    rounding IS lossless (payload already bf16, one-hot is 0/1), so that
+    gather may route through the MXU (_GATHER_ONEHOT).
 
     Packing note (measured negative results, tools/exp_tail3/4.py at B=128):
     bitcasting the (N, nc) bf16 matrix to (N, nc/2) f32 HERE is 5 ms SLOWER
@@ -279,6 +288,16 @@ def _gather_rows(box_pre, xywh, obj, cls):
     emitting the packed layout from the trunk instead cost +4.6 ms there
     while the 40-wide f32 gather saved nothing over the 80-wide bf16 one.
     Plain narrow gathers are the fast path."""
+    if _GATHER_ONEHOT and cls.dtype == jnp.bfloat16:
+        n = cls.shape[0]
+        oh = (box_pre[:, None] == jax.lax.iota(jnp.int32, n)[None, :]).astype(
+            cls.dtype
+        )
+        cls_rows = jax.lax.dot_general(
+            oh, cls, (((1,), (0,)), ((), ())),
+            preferred_element_type=cls.dtype,
+        )
+        return xywh[box_pre], obj[box_pre], cls_rows
     return xywh[box_pre], obj[box_pre], cls[box_pre]
 
 

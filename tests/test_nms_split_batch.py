@@ -208,6 +208,33 @@ def test_bf16_tie_clusters_hold_certificate_and_match_exact():
     np.testing.assert_array_equal(np.asarray(d), np.asarray(d_ref))
 
 
+def test_onehot_cls_gather_matches_narrow():
+    """The one-hot MXU cls-row gather (_GATHER_ONEHOT) is bit-identical to
+    the narrow dynamic gather for bfloat16 payloads — the values are already
+    bf16, so DEFAULT-precision operand rounding is lossless — through the
+    full batched entry point (fast pool, certificate, emit)."""
+    from edgeml_tpu.ops import nms as nms_mod
+
+    rng = np.random.default_rng(11)
+    obj, xywh, cls = make_case(rng, 2, 800, 80)
+    obj16, cls16 = obj.astype(jnp.bfloat16), cls.astype(jnp.bfloat16)
+    kw = dict(conf_thres=1e-4, iou_thres=0.6, max_det=64, max_cand=128)
+    d_ref, v_ref, ok_ref = nms_split_batch(
+        obj16, xywh, cls16, fallback="flag", **kw
+    )
+    assert not nms_mod._GATHER_ONEHOT
+    nms_mod._GATHER_ONEHOT = True
+    nms_split_batch.clear_cache()  # the flag is read at trace time
+    try:
+        d, v, ok = nms_split_batch(obj16, xywh, cls16, fallback="flag", **kw)
+    finally:
+        nms_mod._GATHER_ONEHOT = False
+        nms_split_batch.clear_cache()  # don't leak the one-hot trace
+    assert bool(ok) == bool(ok_ref)
+    np.testing.assert_array_equal(np.asarray(v), np.asarray(v_ref))
+    np.testing.assert_array_equal(np.asarray(d), np.asarray(d_ref))
+
+
 def test_flag_mode_matches_cond_when_certificate_holds():
     """fallback="flag" returns (dets, valid, ok): with ok True the results
     equal the exact cond path bit-for-bit; with ok False the caller's exact

@@ -16,7 +16,11 @@ Usage: python tools/exp_q8serve.py [--batch 128] [--iters 16]
 """
 
 import argparse
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 import jax.numpy as jnp
