@@ -200,8 +200,24 @@ def run_yolo():
         still defeat relay-side result caching."""
         return hash_uniform(seed, (b, 640, 640, 3))
 
+    variants = [("f32", None, None), ("bf16", jnp.bfloat16, None)]
+    if os.environ.get("BENCH_YOLO_INT8", "0") == "1":
+        # int8 post-training-quantized trunk + keyed bf16 NMS tail (the
+        # --int8 --bf16 serving mode, models/quant.py).
+        from edgeml_tpu.models.quant import prepare_int8
+
+        t0 = time.perf_counter()
+        q8tree = prepare_int8(
+            net, params, stats,
+            lambda i: hash_uniform(7000 + i, (16, 640, 640, 3)), iters=2,
+        ).tree
+        float(jnp.sum(jax.tree_util.tree_leaves(q8tree)[0].astype(jnp.float32)))
+        log(f"int8 prep (calibration + weight quant): "
+            f"{time.perf_counter() - t0:.1f}s")
+        variants.append(("int8", jnp.bfloat16, q8tree))
+
     out = {}
-    for name, dt in (("f32", None), ("bf16", jnp.bfloat16)):
+    for name, dt, q8 in variants:
         # the production serving loop: software-pipelined steps (this
         # batch's trunk + previous batch's NMS tail in one program). The
         # step's NMS is the fast pair-selection pool; per-step exactness-
@@ -210,11 +226,12 @@ def run_yolo():
         # protocol for a failed batch) so the reported number is the
         # throughput of the EXACT pipeline, not the optimistic fast path.
         @jax.jit
-        def step(carry, seed, dt=dt):
+        def step(carry, seed, dt=dt, q8=q8):
             prev, acc, nfail = carry
             imgs = fresh_images(seed)
             nxt, d, v, ok = _detect_pipe_step(
-                net, params, stats, prev, imgs, meta, hw, 1e-5, 0.6, dtype=dt
+                net, params, stats, prev, imgs, meta, hw, 1e-5, 0.6,
+                dtype=dt, q8=q8,
             )
             return (nxt, acc + d.sum(), nfail + (1 - ok.astype(jnp.int32)))
 
@@ -328,6 +345,7 @@ def main():
                 "vs_baseline": round(ours_ips / baseline_ips, 2),
                 "yolov5n_infer_imgs_per_sec_f32": yolo.get("f32"),
                 "yolov5n_infer_imgs_per_sec_bf16": yolo.get("bf16"),
+                "yolov5n_infer_imgs_per_sec_int8": yolo.get("int8"),
                 "yolov5n_infer_round1_imgs_per_sec": 300.0,
                 "yolov5n_train_imgs_per_sec_f32": train.get("f32"),
                 "yolov5n_train_imgs_per_sec_bf16": train.get("bf16"),
