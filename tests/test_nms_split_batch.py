@@ -291,3 +291,49 @@ def test_run_detection_pipeline_files_exact(tmp_path):
         want = np.asarray(dets[0])[np.asarray(valid[0])]
         got = np.load(out_dir / f"im{i}.npy")
         np.testing.assert_array_equal(got, want)
+
+
+def test_run_detection_bf16_onehot_gather_files_equal(tmp_path):
+    """Full bf16 serving pipeline (run_detection) with the one-hot MXU cls
+    gather forced on: per-image files bit-equal the narrow-gather run (the
+    gathered values are identical, so every downstream rank/NMS/unmap stage
+    sees the same inputs)."""
+    import jax as _jax
+    from edgeml_tpu.models import infer as infer_mod
+    from edgeml_tpu.models.infer import run_detection
+    from edgeml_tpu.models.yolov5 import YoloV5
+    from edgeml_tpu.ops import nms as nms_mod
+
+    net = YoloV5(variant="n", num_classes=8, img_size=64)
+    params, stats = net.init(_jax.random.PRNGKey(0))
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rng = np.random.default_rng(3)
+    for i in range(4):
+        np.save(img_dir / f"im{i}.npy",
+                rng.random((50, 70, 3)).astype(np.float32))
+
+    def clear():
+        nms_split_batch.clear_cache()
+        infer_mod._detect_pipe_step.clear_cache()
+        infer_mod._detect_batch.clear_cache()
+
+    out_a = tmp_path / "narrow"
+    run_detection(net, params, stats, str(img_dir), str(out_a),
+                  batch_size=2, conf_thres=1e-3, iou_thres=0.5,
+                  img_size=64, dtype=jnp.bfloat16)
+    assert not nms_mod._GATHER_ONEHOT
+    nms_mod._GATHER_ONEHOT = True
+    clear()  # the flag is read at trace time
+    try:
+        out_b = tmp_path / "onehot"
+        run_detection(net, params, stats, str(img_dir), str(out_b),
+                      batch_size=2, conf_thres=1e-3, iou_thres=0.5,
+                      img_size=64, dtype=jnp.bfloat16)
+    finally:
+        nms_mod._GATHER_ONEHOT = False
+        clear()
+    for i in range(4):
+        a = np.load(out_a / f"im{i}.npy")
+        b = np.load(out_b / f"im{i}.npy")
+        np.testing.assert_array_equal(b, a)
