@@ -185,10 +185,13 @@ def scale_translate(canvas: np.ndarray, cls: np.ndarray, boxes: np.ndarray,
         pad[sy0 - yi0 : sy1 - yi0, sx0 - xi0 : sx1 - xi0] = canvas[
             sy0:sy1, sx0:sx1
         ]
-    # crop holds canvas [xi0, yi1) — resample its [x0-xi0, x0-xi0+win) window
-    frac_w = pad.shape[1]
-    out_big = resize_bilinear(pad, int(round(frac_w * g)),
-                              int(round(frac_w * g)))
+    # crop holds canvas [xi0, yi1) — resample its [x0-xi0, x0-xi0+win) window.
+    # Scale each dim by g SEPARATELY: pad's H and W differ by a pixel or two
+    # (independent floor/ceil of x0 and y0), and sizing both from the width
+    # would apply a y-scale of g*W/H != g while boxes are mapped with exact
+    # g — a systematic 1-3 px vertical label misalignment.
+    out_big = resize_bilinear(pad, int(round(pad.shape[0] * g)),
+                              int(round(pad.shape[1] * g)))
     # offset of the true window origin inside the resized crop
     ox = int(round((x0 - xi0) * g))
     oy = int(round((y0 - yi0) * g))

@@ -42,8 +42,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from .common import conv2d, max_pool_same, silu, upsample2x
-from .yolov5 import BN_EPS, STRIDES, YoloV5
+from .common import conv2d, max_pool_same, silu
+from .yolov5 import BN_EPS, HEAD_STAGES, STRIDES, YoloV5
 
 
 def _fold_convbn(p, s, eps=BN_EPS):
@@ -121,18 +121,20 @@ def _qconv_stem_s2d(xq, wq, dq_scale, bias):
 
 
 # ---------------------------------------------------------------------------
-# The quantized trunk walk. Mirrors YoloV5._trunk (models/yolov5.py:246-276)
-# with explicit per-node activation scales. Node naming: "l{idx}" for layer
-# outputs, "l{idx}/cv1" etc. for C3/SPPF internals, "l{idx}/m{j}/sum" for
-# shortcut sums, "in" for the input image.
+# The quantized trunk walk. Both walks below traverse the layer graph via
+# YoloV5.walk — the ONE shared traversal also used by the float trunk — so
+# calibration, float and int8 serving can never desynchronize. Node naming:
+# "l{idx}" for layer outputs, "l{idx}/cv1" etc. for C3/SPPF internals,
+# "l{idx}/m{j}/sum" for shortcut sums, "in" for the input image.
 # ---------------------------------------------------------------------------
 
 
 def _calibrate_walk(net: YoloV5, fused, x, amax):
     """One f32 forward pass over BN-folded weights, recording absmax of every
     activation tensor into `amax` (dict name -> scalar array). Returns the
-    three head inputs. The f32 values here define the quantization grid, so
-    this walk must match the quantized walk's dataflow exactly."""
+    three head inputs. The f32 values here define the quantization grid;
+    dataflow equality with Q8Yolo.trunk is guaranteed by sharing
+    YoloV5.walk — only the per-block compute differs."""
 
     def rec(name, v):
         a = jnp.max(jnp.abs(v))
@@ -144,45 +146,33 @@ def _calibrate_walk(net: YoloV5, fused, x, amax):
         return rec(name, silu(
             conv2d(x, w, stride, padding=((pad, pad), (pad, pad))) + b))
 
-    def c3(name, x, fp, shortcut):
-        y1 = convbn(f"{name}/cv1", x, fp["cv1"], 0, 1)
-        y2 = convbn(f"{name}/cv2", x, fp["cv2"], 0, 1)
+    def conv_fn(name, xi, kw):
+        return convbn(name, xi, fused[name], kw.get("p", kw["k"] // 2),
+                      kw["s"])
+
+    def c3_fn(name, xi, kw):
+        fp = fused[name]
+        y1 = convbn(f"{name}/cv1", xi, fp["cv1"], 0, 1)
+        y2 = convbn(f"{name}/cv2", xi, fp["cv2"], 0, 1)
         for j, bp in enumerate(fp["m"]):
             b1 = convbn(f"{name}/m{j}/cv1", y1, bp["cv1"], 0, 1)
             b2 = convbn(f"{name}/m{j}/cv2", b1, bp["cv2"], 1, 1)
-            y1 = rec(f"{name}/m{j}/sum", y1 + b2) if shortcut else b2
+            y1 = rec(f"{name}/m{j}/sum", y1 + b2) if kw["shortcut"] else b2
         return convbn(
             f"{name}/cv3", jnp.concatenate([y1, y2], -1), fp["cv3"], 0, 1)
 
-    def sppf(name, x, fp):
-        y = convbn(f"{name}/cv1", x, fp["cv1"], 0, 1)
-        p1 = jax.lax.reduce_window(y, -jnp.inf, jax.lax.max,
-                                   (1, 5, 5, 1), (1, 1, 1, 1), "SAME")
-        p2 = jax.lax.reduce_window(p1, -jnp.inf, jax.lax.max,
-                                   (1, 5, 5, 1), (1, 1, 1, 1), "SAME")
-        p3 = jax.lax.reduce_window(p2, -jnp.inf, jax.lax.max,
-                                   (1, 5, 5, 1), (1, 1, 1, 1), "SAME")
+    def sppf_fn(name, xi, kw):
+        fp = fused[name]
+        y = convbn(f"{name}/cv1", xi, fp["cv1"], 0, 1)
+        p1 = max_pool_same(y, 5)
+        p2 = max_pool_same(p1, 5)
+        p3 = max_pool_same(p2, 5)
         return convbn(f"{name}/cv2", jnp.concatenate([y, p1, p2, p3], -1),
                       fp["cv2"], 0, 1)
 
     rec("in", x)
-    outputs = {}
-    y = x
-    for idx, kind, src, kw in net.layers():
-        name = f"l{idx}"
-        if kind == "conv":
-            y = convbn(name, y if src == -1 else outputs[src],
-                       fused[name], kw.get("p", kw["k"] // 2), kw["s"])
-        elif kind == "c3":
-            y = c3(name, y, fused[name], kw["shortcut"])
-        elif kind == "sppf":
-            y = sppf(name, y, fused[name])
-        elif kind == "up":
-            y = upsample2x(y)
-        elif kind == "concat":
-            y = jnp.concatenate([y, outputs[src[1]]], axis=-1)
-        outputs[idx] = y
-    return [outputs[i] for i in (17, 20, 23)]
+    feats, _ = net.walk(x, conv_fn, c3_fn, sppf_fn)
+    return feats
 
 
 class Q8Yolo:
@@ -258,27 +248,17 @@ class Q8Yolo:
 
     def trunk(self, x):
         """x: (B, S, S, 3) f32 in [0, 1]. Returns the three int8 head inputs
-        (stages 17/20/23) plus their names for scale lookup."""
-        net = self.net
+        (HEAD_STAGES) — traversal shared with the float trunk and the
+        calibration pass via YoloV5.walk."""
         xq = quantize_tensor(x, self.scales["in"])
-        outputs = {}
-        y = xq
-        for idx, kind, src, kw in net.layers():
-            name = f"l{idx}"
-            if kind == "conv":
-                y = self._convbn_q(
-                    name, y if src == -1 else outputs[src],
-                    kw.get("p", kw["k"] // 2), kw["s"])
-            elif kind == "c3":
-                y = self._c3_q(name, y, kw["shortcut"])
-            elif kind == "sppf":
-                y = self._sppf_q(name, y)
-            elif kind == "up":
-                y = upsample2x(y)
-            elif kind == "concat":
-                y = jnp.concatenate([y, outputs[src[1]]], axis=-1)
-            outputs[idx] = y
-        return [outputs[i] for i in (17, 20, 23)]
+        feats, _ = self.net.walk(
+            xq,
+            lambda name, xi, kw: self._convbn_q(
+                name, xi, kw.get("p", kw["k"] // 2), kw["s"]),
+            lambda name, xi, kw: self._c3_q(name, xi, kw["shortcut"]),
+            lambda name, xi, kw: self._sppf_q(name, xi),
+        )
+        return feats
 
     def predict(self, x, score_dtype=None):
         """Full int8 serving path; same output contract as YoloV5.predict:
@@ -468,7 +448,7 @@ def prepare_int8(net: YoloV5, params, stats, images_fn, iters: int = 4):
 
         # 4. detect head: 1x1 convs on the stage 17/20/23 int8 features
         detect_q = []
-        for feat_idx, p in zip((17, 20, 23), detect_p):
+        for feat_idx, p in zip(HEAD_STAGES, detect_p):
             wq, wscale = _quantize_weight(
                 p["w"], [scales_[out_node(feat_idx)]], [(0, p["w"].shape[2])])
             detect_q.append({"w": wq, "dq": wscale[None, None, None, :],

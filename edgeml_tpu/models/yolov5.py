@@ -58,6 +58,7 @@ DEFAULT_ANCHORS = (
     ((116, 90), (156, 198), (373, 326)),
 )
 STRIDES = (8, 16, 32)
+HEAD_STAGES = (17, 20, 23)  # layer indices feeding the detect head
 
 
 def _gw(c, width):
@@ -243,37 +244,66 @@ class YoloV5:
         )
         return y, ns
 
-    def _trunk(self, params, stats, x, train, taps=()):
-        """Backbone + neck walk up to the three head inputs (stages 17/20/23).
+    def walk(self, x, conv_fn, c3_fn, sppf_fn):
+        """THE single traversal of the YOLOv5 layer graph (backbone + neck).
 
-        Returns (feat_list, new_stats, tap_dict)."""
+        Every activation walk over self.layers() — the float serving/
+        training trunk (_trunk), the int8 calibration pass
+        (models/quant.py _calibrate_walk) and the int8 serving trunk
+        (quant.Q8Yolo.trunk) — routes through this one function, so their
+        dataflow (conv sources, concat order, up/concat routing) can never
+        desynchronize: the quantization grid is only valid because the
+        calibration walk matches the serving walks EXACTLY.
+
+        conv_fn/c3_fn/sppf_fn(name, x, kw) compute one block and return its
+        output tensor; up/concat routing lives here. Returns
+        (head_inputs — the HEAD_STAGES outputs — and the {idx: tensor}
+        table of every stage output).
+        """
         outputs = {}
-        new_stats = {}
-        tapset = set(taps)
-        tap_out = {}
         y = x
         for idx, kind, src, kw in self.layers():
             name = f"l{idx}"
             if kind == "conv":
-                y, new_stats[name] = self._convbn(
-                    y if src == -1 else outputs[src],
-                    params[name], stats[name],
-                    kw.get("p", kw["k"] // 2), kw["s"], train,
-                )
+                y = conv_fn(name, y if src == -1 else outputs[src], kw)
             elif kind == "c3":
-                y, new_stats[name] = self._c3(
-                    y, params[name], stats[name], kw["shortcut"], train
-                )
+                y = c3_fn(name, y, kw)
             elif kind == "sppf":
-                y, new_stats[name] = self._sppf(y, params[name], stats[name], train)
+                y = sppf_fn(name, y, kw)
             elif kind == "up":
                 y = upsample2x(y)
             elif kind == "concat":
                 y = jnp.concatenate([y, outputs[src[1]]], axis=-1)
+            else:
+                raise ValueError(f"unknown layer kind {kind!r}")
             outputs[idx] = y
-            if idx in tapset:
-                tap_out[idx] = y
-        return [outputs[i] for i in (17, 20, 23)], new_stats, tap_out
+        return [outputs[i] for i in HEAD_STAGES], outputs
+
+    def _trunk(self, params, stats, x, train, taps=()):
+        """Backbone + neck walk up to the three head inputs (HEAD_STAGES).
+
+        Returns (feat_list, new_stats, tap_dict)."""
+        new_stats = {}
+
+        def conv_fn(name, xi, kw):
+            y, new_stats[name] = self._convbn(
+                xi, params[name], stats[name],
+                kw.get("p", kw["k"] // 2), kw["s"], train,
+            )
+            return y
+
+        def c3_fn(name, xi, kw):
+            y, new_stats[name] = self._c3(
+                xi, params[name], stats[name], kw["shortcut"], train
+            )
+            return y
+
+        def sppf_fn(name, xi, kw):
+            y, new_stats[name] = self._sppf(xi, params[name], stats[name], train)
+            return y
+
+        feats, outputs = self.walk(x, conv_fn, c3_fn, sppf_fn)
+        return feats, new_stats, {i: outputs[i] for i in taps}
 
     def apply(self, params, stats, x, *, train: bool = False, taps=()):
         """Run the network. x: (B, S, S, 3) float32 in [0, 1].
@@ -471,10 +501,33 @@ class YoloV5:
         return params, stats
 
 
+def _map_bn_nodes(tree, fn):
+    """Apply fn to every BatchNorm stats node ({"m", "v"} leaf dict)."""
+    if isinstance(tree, dict):
+        # BN stats leaves are {"m": arr, "v": arr}; C3 blocks also use "m"
+        # as their bottleneck-LIST key, so require both values be arrays.
+        if (
+            "m" in tree and "v" in tree
+            and not isinstance(tree["m"], (dict, list, tuple))
+            and not isinstance(tree["v"], (dict, list, tuple))
+        ):
+            return fn(tree)
+        return {k: _map_bn_nodes(v, fn) for k, v in tree.items()}
+    if isinstance(tree, (list, tuple)):
+        return type(tree)(_map_bn_nodes(v, fn) for v in tree)
+    return tree
+
+
 def calibrate_bn(net: YoloV5, params, stats, images_fn, iters: int = 6):
     """Set BatchNorm running statistics to the network's ACTUAL activation
-    statistics by iterating train-mode passes and inverting the momentum
-    update (batch = old + (new - old) / momentum).
+    statistics, pooled over `iters` train-mode calibration batches.
+
+    Each train-mode pass normalizes with its own batch statistics (the
+    running stats never feed back), so the passes are independent samples;
+    the momentum update is inverted per pass (batch = old + (new - old) /
+    momentum) to recover the raw batch moments, and the passes are pooled
+    in (E[x], E[x^2]) space — the law-of-total-variance combination — so
+    ALL iters batches contribute to the estimate, not just the last one.
 
     Torch-default conv init is not gain-preserving: with never-updated init
     stats (mean 0 / var 1), activations decay ~40x per stage and the head
@@ -486,12 +539,26 @@ def calibrate_bn(net: YoloV5, params, stats, images_fn, iters: int = 6):
 
     :param images_fn: iteration -> (B, S, S, 3) calibration batch.
     """
+    moments = None
     for i in range(iters):
         _, new_stats, _ = net.apply(params, stats, images_fn(i), train=True)
-        stats = jax.tree_util.tree_map(
+        batch = jax.tree_util.tree_map(
             lambda o, n: o + (n - o) / BN_MOMENTUM, stats, new_stats
         )
-    return stats
+        if iters == 1:  # exact single-batch stats, no moment roundtrip
+            return batch
+        mom = _map_bn_nodes(
+            batch, lambda s: {"m": s["m"], "v": s["v"] + s["m"] ** 2}
+        )
+        moments = (
+            mom if moments is None
+            else jax.tree_util.tree_map(jnp.add, moments, mom)
+        )
+    moments = jax.tree_util.tree_map(lambda a: a / iters, moments)
+    return _map_bn_nodes(
+        moments,
+        lambda s: {"m": s["m"], "v": jnp.maximum(s["v"] - s["m"] ** 2, 0.0)},
+    )
 
 
 def fuse_convbn(params, stats, eps: float = BN_EPS):

@@ -194,6 +194,13 @@ def _emit(cand_boxes, top_scores, cls_idx, iou_thres, max_det):
     return _compact(cand_boxes, top_scores, cls_idx, kept, max_det)
 
 
+FORCE_FUSED_INTERPRET = False
+"""Test knob: route _emit_batch through the fused Pallas suppressor in
+interpreter mode even on CPU, so the CPU suite (including the multichip
+dryrun's 8-device host mesh) exercises the exact program — pallas_call,
+custom_partitioning rule and all — that TPU serving runs."""
+
+
 def _emit_batch(cand_boxes, top_scores, cls_idx, iou_thres, max_det):
     """Batched _emit over (B, K, ...) candidates.
 
@@ -203,13 +210,16 @@ def _emit_batch(cand_boxes, top_scores, cls_idx, iou_thres, max_det):
     ~2x cheaper in-program (the XLA build materializes (K, K) intermediates
     in HBM; the kernel keeps them in VMEM — 30.8 -> 27.4 ms serving step at
     B=128, tools/exp_ablate3.py stage 8). CPU keeps the XLA formulation, so
-    the CPU reference path is untouched."""
+    the CPU reference path is untouched. Under a data-parallel mesh the
+    kernel shards over images via its custom_partitioning rule."""
     k = top_scores.shape[-1]
-    if jax.default_backend() != "cpu" and k % 256 == 0 and k <= 2048:
+    force = FORCE_FUSED_INTERPRET
+    if (jax.default_backend() != "cpu" or force) and k % 256 == 0 and k <= 2048:
         from .nms_fused import greedy_keep_mask_fused
 
         off = cand_boxes + cls_idx[..., None] * MAX_WH
-        kept = greedy_keep_mask_fused(off, top_scores, float(iou_thres))
+        kept = greedy_keep_mask_fused(off, top_scores, float(iou_thres),
+                                      interpret=force)
         return jax.vmap(
             lambda cb, ts, ci, kp: _compact(cb, ts, ci, kp, max_det)
         )(cand_boxes, top_scores, cls_idx, kept)

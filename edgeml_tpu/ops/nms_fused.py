@@ -27,7 +27,9 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.custom_partitioning import custom_partitioning
 from jax.experimental.pallas import tpu as pltpu
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 
 def _kernel(off_ref, offt_ref, valid_ref, out_ref, sup_ref, *, iou_thres, tj):
@@ -76,25 +78,11 @@ def _kernel(off_ref, offt_ref, valid_ref, out_ref, sup_ref, *, iou_thres, tj):
     out_ref[:] = kept.astype(jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("iou_thres", "interpret"))
-def greedy_keep_mask_fused(boxes: jax.Array, scores: jax.Array,
-                           iou_thres: float,
-                           interpret: bool = False) -> jax.Array:
-    """Batched fused greedy-NMS survivor masks.
-
-    :param boxes: (B, K, 4) xyxy (class offsets already applied), each image
-        sorted by DESCENDING score; K must be a multiple of 256.
-    :param scores: (B, K); entries <= 0 never participate.
-    :param interpret: run the kernel in the Pallas interpreter (CPU tests).
-    :return: (B, K) bool — identical to vmap(greedy_keep_mask).
-    """
-    b, k, _ = boxes.shape
-    assert k % 256 == 0, k
-    off = boxes.astype(jnp.float32)
-    offt = jnp.swapaxes(off, 1, 2)  # (B, 4, K)
-    sc = jnp.where(scores > 0, 1.0, 0.0).astype(jnp.float32)[:, None, :]
+def _pallas_call(off, offt, sc, iou_thres: float, interpret: bool):
+    """The raw kernel launch on whatever (local) batch it is handed."""
+    b, k, _ = off.shape
     tj = 256
-    out = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_kernel, iou_thres=float(iou_thres), tj=tj),
         grid=(b,),
         in_specs=[
@@ -111,4 +99,71 @@ def greedy_keep_mask_fused(boxes: jax.Array, scores: jax.Array,
         scratch_shapes=[pltpu.VMEM((k, k), jnp.bfloat16)],
         interpret=interpret,
     )(off, offt, sc)
+
+
+@functools.lru_cache(maxsize=None)
+def _fused_partitioned(iou_thres: float, interpret: bool):
+    """custom_partitioning wrapper: Mosaic custom calls have no automatic
+    SPMD partitioning rule, so without this a data-parallel mesh serving
+    program (models/infer.py run_detection(mesh=...)) could not shard the
+    suppressor over the batch axis. The kernel is embarrassingly parallel
+    over images (grid=(B,)), so the rule is: batch dim passes through,
+    every other dim must be replicated; per-shard lowering is the same
+    pallas_call on the local batch."""
+
+    f = custom_partitioning(
+        lambda off, offt, sc: _pallas_call(off, offt, sc, iou_thres, interpret)
+    )
+
+    def _bspec(arg_shapes):
+        spec = arg_shapes[0].sharding.spec
+        return spec[0] if len(spec) else None
+
+    def infer(mesh, arg_shapes, result_shape):
+        return NamedSharding(mesh, P(_bspec(arg_shapes), None, None))
+
+    def partition(mesh, arg_shapes, result_shape):
+        b = _bspec(arg_shapes)
+        arg_sh = tuple(NamedSharding(mesh, P(b, None, None)) for _ in arg_shapes)
+        out_sh = NamedSharding(mesh, P(b, None, None))
+
+        def lower_fn(off, offt, sc):
+            return _pallas_call(off, offt, sc, iou_thres, interpret)
+
+        return mesh, lower_fn, out_sh, arg_sh
+
+    f.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer,
+        # batch factor `b` shards; everything else is VMEM-local per image.
+        sharding_rule="b k f, b f2 k2, b one k3 -> b one2 k4",
+        need_replication_factors=(
+            "k", "f", "f2", "k2", "one", "k3", "one2", "k4"
+        ),
+    )
+    return f
+
+
+@functools.partial(jax.jit, static_argnames=("iou_thres", "interpret"))
+def greedy_keep_mask_fused(boxes: jax.Array, scores: jax.Array,
+                           iou_thres: float,
+                           interpret: bool = False) -> jax.Array:
+    """Batched fused greedy-NMS survivor masks.
+
+    :param boxes: (B, K, 4) xyxy (class offsets already applied), each image
+        sorted by DESCENDING score; K must be a multiple of 256.
+    :param scores: (B, K); entries <= 0 never participate.
+    :param interpret: run the kernel in the Pallas interpreter (CPU tests).
+    :return: (B, K) bool — identical to vmap(greedy_keep_mask).
+
+    Safe under a data-parallel mesh: the launch goes through a
+    custom_partitioning rule that shards the image axis and keeps each
+    image's (K, K) suppression problem device-local (no collectives).
+    """
+    b, k, _ = boxes.shape
+    assert k % 256 == 0, k
+    off = boxes.astype(jnp.float32)
+    offt = jnp.swapaxes(off, 1, 2)  # (B, 4, K)
+    sc = jnp.where(scores > 0, 1.0, 0.0).astype(jnp.float32)[:, None, :]
+    out = _fused_partitioned(float(iou_thres), interpret)(off, offt, sc)
     return out[:, 0, :] > 0.0

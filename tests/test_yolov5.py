@@ -365,3 +365,57 @@ def test_bf16_serving_path():
         assert [a.dtype for a in jax.tree_util.tree_leaves(carry)] == dtypes0
     assert np.asarray(valid).sum() > 0
     assert np.isfinite(np.asarray(dets)).all()
+
+
+def test_calibrate_bn_pools_all_batches():
+    """calibrate_bn pools the moments of EVERY calibration batch (the
+    momentum-inverted train-mode passes are independent samples): the pooled
+    mean is the exact average of the per-batch means, and a constant-offset
+    second batch shifts the result — the old momentum-chained form kept only
+    the last batch's statistics."""
+    from edgeml_tpu.models.yolov5 import calibrate_bn
+
+    net = YoloV5(variant="n", num_classes=4, img_size=64)
+    params, stats = net.init(jax.random.PRNGKey(0))
+    batches = [
+        jax.random.uniform(jax.random.PRNGKey(9), (2, 64, 64, 3)),
+        jax.random.uniform(jax.random.PRNGKey(10), (2, 64, 64, 3)) * 0.5 + 0.4,
+    ]
+
+    pooled = calibrate_bn(net, params, stats, lambda i: batches[i], iters=2)
+    only_a = calibrate_bn(net, params, stats, lambda i: batches[0], iters=1)
+    only_b = calibrate_bn(net, params, stats, lambda i: batches[1], iters=1)
+
+    la = jax.tree_util.tree_leaves(only_a)
+    lb = jax.tree_util.tree_leaves(only_b)
+    lp = jax.tree_util.tree_leaves(pooled)
+    assert len(la) == len(lp)
+    # pooled differs from the last batch alone (the old behavior)...
+    diffs = [
+        float(jnp.max(jnp.abs(p - b))) for p, b in zip(lp, lb)
+    ]
+    assert max(diffs) > 1e-4
+    # ...and every mean leaf is the exact average of the per-batch means.
+    # Leaf order interleaves m/v; check the identity only where it holds
+    # exactly (means): m_pool == (m_a + m_b) / 2 within float roundoff.
+    def means(tree):
+        from edgeml_tpu.models.yolov5 import _map_bn_nodes
+
+        out = []
+        _map_bn_nodes(tree, lambda s: (out.append(s["m"]), s)[1])
+        return out
+
+    for ma, mb, mp in zip(means(only_a), means(only_b), means(pooled)):
+        np.testing.assert_allclose(
+            np.asarray((ma + mb) / 2), np.asarray(mp), rtol=1e-5, atol=1e-6
+        )
+    # variances stay nonnegative
+    def vars(tree):
+        from edgeml_tpu.models.yolov5 import _map_bn_nodes
+
+        out = []
+        _map_bn_nodes(tree, lambda s: (out.append(s["v"]), s)[1])
+        return out
+
+    for v in vars(pooled):
+        assert float(jnp.min(v)) >= 0.0
