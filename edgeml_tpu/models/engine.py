@@ -70,9 +70,9 @@ def make_family_train_step(net, cfg: TrainConfig, dtype=None):
 
     dtype: optional AMP compute dtype (jnp.bfloat16) for the forward/backward
     — the engine.py:27-43 autocast equivalent (see models/train.py amp_cast).
-    Supported for yolov5 / ssd / retinanet; Faster R-CNN's multi-stage loss
-    decodes boxes inside the jitted step and stays f32 (same policy as its
-    serving path, models/infer.py)."""
+    Supported for all four families; Faster R-CNN casts only its compute
+    stages (backbone/RPN head/RoIAlign/box head) and keeps every decision
+    stage f32, mirroring its serving knob (rcnn_loss.faster_rcnn_loss)."""
     opt = make_optimizer(cfg)
     kind = type(net).__name__
 
@@ -140,11 +140,6 @@ def make_family_train_step(net, cfg: TrainConfig, dtype=None):
         return opt, step
 
     if kind == "FasterRCNN":
-        if dtype is not None:
-            raise ValueError(
-                "AMP training is not supported for Faster R-CNN (multi-stage "
-                "box decode inside the loss stays f32)"
-            )
         from .faster_rcnn import rpn_anchors
         from .rcnn_loss import faster_rcnn_loss
 
@@ -156,7 +151,8 @@ def make_family_train_step(net, cfg: TrainConfig, dtype=None):
 
             def lf(p):
                 return faster_rcnn_loss(
-                    net, key, p, images, anchors, boxes, cls, valid
+                    net, key, p, images, anchors, boxes, cls, valid,
+                    dtype=dtype,
                 )
 
             (loss, parts), g = jax.value_and_grad(lf, has_aux=True)(params)

@@ -97,6 +97,10 @@ def roi_head_loss(net: FasterRCNN, key, params, feats, proposals, prop_valid,
     labels = jnp.where(pos[idx], gt_cls[midx], 0)
 
     cls_logits, reg = net.run_box_head(params, feats, sel_boxes)
+    # AMP: head outputs may be bf16 — all loss math stays f32 (no-op when
+    # the walk already runs f32)
+    cls_logits = cls_logits.astype(jnp.float32)
+    reg = reg.astype(jnp.float32)
     logp = jax.nn.log_softmax(cls_logits, -1)
     ce = -jnp.take_along_axis(logp, labels[:, None], 1)[:, 0]
     denom = jnp.maximum(jnp.sum(w), 1.0)
@@ -114,11 +118,30 @@ def roi_head_loss(net: FasterRCNN, key, params, feats, proposals, prop_valid,
 
 
 def faster_rcnn_loss(net: FasterRCNN, key, params, images, anchors_per_level,
-                     gt_boxes, gt_cls, gt_valid):
+                     gt_boxes, gt_cls, gt_valid, dtype=None):
     """Full two-stage training loss for a batch. gt_boxes (B, M, 4) pixels,
-    gt_cls (B, M) 1-based, gt_valid (B, M)."""
+    gt_cls (B, M) 1-based, gt_valid (B, M).
+
+    dtype: optional AMP compute dtype (jnp.bfloat16) — the same boundaries
+    as FasterRCNN.detect's serving knob: backbone, RPN head, RoIAlign
+    gathers and box head run in `dtype`; every decision stage (proposal
+    decode/top-k/NMS, matching, balanced sampling, box encode, the losses)
+    stays float32. Called under value_and_grad, the cast happens inside the
+    differentiated function, so master weights and gradients remain f32 —
+    the reference engine's AMP-optional path (references/engine.py:27-43)."""
+    if dtype is not None:
+        params = jax.tree_util.tree_map(
+            lambda a: a.astype(dtype)
+            if getattr(a, "dtype", None) == jnp.float32 else a, params)
+        images = images.astype(dtype)
     feats = net.backbone.apply(params["backbone"], images)
     rpn_outs = net.run_rpn(params, feats)
+    if dtype is not None:
+        # proposal decode + RPN loss math in f32 (decision stages)
+        rpn_outs = [
+            (c.astype(jnp.float32), r.astype(jnp.float32))
+            for c, r in rpn_outs
+        ]
     anchors = jnp.concatenate(anchors_per_level)
     obj_all = jnp.concatenate([c for c, _ in rpn_outs], axis=1)  # (B, A)
     reg_all = jnp.concatenate([r for _, r in rpn_outs], axis=1)  # (B, A, 4)

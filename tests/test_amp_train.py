@@ -80,10 +80,43 @@ def test_bf16_step_close_to_f32(family, size):
     assert n16 == pytest.approx(n32, rel=0.35), (n32, n16)
 
 
-def test_faster_rcnn_amp_rejected():
+def test_faster_rcnn_bf16_step_close_to_f32():
+    """Faster R-CNN AMP: compute stages (backbone/RPN/RoIAlign/box head) in
+    bf16, every decision stage (proposal decode/NMS, matching, sampling,
+    encode, losses) f32 — the same boundaries as its serving knob. The two
+    steps share one PRNG key, so the balanced samplers draw identical keys;
+    proposal sets may still differ slightly (RPN scores perturb the top-k),
+    hence looser tolerances than the single-stage families."""
     net, params, stats = make_detector("faster_rcnn", 8, 64)
-    with pytest.raises(ValueError):
-        make_family_train_step(net, TrainConfig(), dtype=jnp.bfloat16)
+    cfg = TrainConfig()
+    _, step32 = make_family_train_step(net, cfg, dtype=None)
+    _, step16 = make_family_train_step(net, cfg, dtype=jnp.bfloat16)
+    images, targets, valid = _batch(2, 64)
+    key = jax.random.PRNGKey(0)
+
+    def run(step):
+        from edgeml_tpu.models.engine import make_optimizer
+
+        opt = make_optimizer(cfg)
+        opt_state = opt.init(params)
+        return step(params, stats, opt_state, images, targets, valid, 0.01, key)
+
+    p32, _, _, loss32, _ = run(step32)
+    p16, _, _, loss16, _ = run(step16)
+    loss32, loss16 = float(loss32), float(loss16)
+    assert np.isfinite(loss16)
+    assert loss16 == pytest.approx(loss32, rel=0.05), (loss32, loss16)
+    assert _leaf_dtypes(p16) == {"float32"}  # master weights stay f32
+    n32 = np.sqrt(sum(
+        float(((np.asarray(a - b)) ** 2).sum())
+        for a, b in zip(jax.tree_util.tree_leaves(p32),
+                        jax.tree_util.tree_leaves(params))))
+    n16 = np.sqrt(sum(
+        float(((np.asarray(a - b)) ** 2).sum())
+        for a, b in zip(jax.tree_util.tree_leaves(p16),
+                        jax.tree_util.tree_leaves(params))))
+    assert n32 > 0 and n16 > 0
+    assert n16 == pytest.approx(n32, rel=0.5), (n32, n16)
 
 
 def test_amp_cast_keeps_frozen_stats_f32():
