@@ -156,7 +156,14 @@ def topk1d(x: jax.Array, k: int, chunk: int = 10240):
     chunks = -(-n // chunk)
     pad = chunks * chunk - n
     if pad:
-        x = jnp.concatenate([x, jnp.full((pad,), -jnp.inf, x.dtype)])
+        # identity = -inf for floats, type minimum for ints (the keyed bf16
+        # ranking feeds packed int32 keys; -inf would only reach INT32_MIN
+        # through an invalid-cast warning)
+        if jnp.issubdtype(x.dtype, jnp.floating):
+            fill = -jnp.inf
+        else:
+            fill = jnp.iinfo(x.dtype).min
+        x = jnp.concatenate([x, jnp.full((pad,), fill, x.dtype)])
     kk = min(k, chunk)
     v, i = jax.lax.top_k(x.reshape(chunks, chunk), kk)
     v2, m = topk1d(v.reshape(-1), k, chunk)

@@ -73,7 +73,7 @@ def average_precision(recall_pts, precision_pts) -> float:
     for k in range(len(ys) - 2, -1, -1):
         ys[k] = max(ys[k], ys[k + 1])
     grid = np.linspace(0, 1, 101)
-    return float(np.trapz(np.interp(grid, xs, ys), grid))
+    return float(np.trapezoid(np.interp(grid, xs, ys), grid))
 
 
 def map_of_detections(tp, conf, pred_cls, target_cls) -> np.ndarray:
