@@ -17,4 +17,12 @@ test-fast:
 bench:
 	python bench.py
 
-.PHONY: test test-fast bench
+native: native/libfastio.so native/libresize.so
+
+native/libfastio.so: native/fastio.cpp
+	g++ -O3 -shared -fPIC -std=c++17 -o $@ $< -lpthread
+
+native/libresize.so: native/resize.cpp
+	g++ -O3 -shared -fPIC -std=c++17 -o $@ $< -lpthread
+
+.PHONY: test test-fast bench native

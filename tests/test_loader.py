@@ -29,6 +29,37 @@ def test_resize_matches_jax_image(shape, out):
     assert np.abs(want - got).max() < 5e-5
 
 
+def test_native_resize_matches_numpy_fallback(monkeypatch):
+    """The fused C++ kernel (native/resize.cpp) and the NumPy banded-tap
+    fallback evaluate the identical resampling (same _linear_taps weights);
+    they must agree to float-roundoff on every shape regime. Also covers the
+    graceful degradation contract: with the native path disabled the public
+    resize_bilinear still works."""
+    from edgeml_tpu.data import fastresize, loader
+
+    rng = np.random.default_rng(3)
+    cases = [((480, 640), (456, 608)), ((100, 300), (640, 640)),
+             ((640, 640), (320, 320)), ((33, 17), (64, 128)),
+             ((5, 640), (640, 5))]
+    for shape, out in cases:
+        img = rng.random(shape + (3,)).astype(np.float32)
+        native = resize_bilinear(img, *out)
+        with monkeypatch.context() as m:
+            m.setattr(fastresize, "native_resize",
+                      lambda *a, **k: None)
+            fallback = loader.resize_bilinear(img, *out)
+        assert np.abs(native - fallback).max() < 2e-6, (shape, out)
+        assert native.dtype == fallback.dtype == np.float32
+
+    # 4-channel input exercises the generic (non-RGB) native inner loop
+    img4 = rng.random((60, 90, 4)).astype(np.float32)
+    native = resize_bilinear(img4, 128, 96)
+    with monkeypatch.context() as m:
+        m.setattr(fastresize, "native_resize", lambda *a, **k: None)
+        fallback = loader.resize_bilinear(img4, 128, 96)
+    assert np.abs(native - fallback).max() < 2e-6
+
+
 def _make_imgdir(tmp_path, n, seed=0):
     rng = np.random.default_rng(seed)
     d = tmp_path / "imgs"
