@@ -15,12 +15,29 @@ import threading
 
 import numpy as np
 
-_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
-_SRC = os.path.join(_NATIVE_DIR, "fastio.cpp")
-_SO = os.path.join(_NATIVE_DIR, "libfastio.so")
+NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
+_SRC = os.path.join(NATIVE_DIR, "fastio.cpp")
+_SO = os.path.join(NATIVE_DIR, "libfastio.so")
 _lock = threading.Lock()
 _lib = None
 _failed = False
+
+
+def build_native_lib(src: str, so: str) -> ctypes.CDLL:
+    """Shared build-and-load recipe for the native/ fast paths (fastio,
+    fastresize): (re)compile `so` when missing or older than `src`, then
+    dlopen it. Raises on any failure — callers latch the failure and fall
+    back to their pure-Python path."""
+    if not os.path.exists(so) or os.path.getmtime(so) < os.path.getmtime(src):
+        subprocess.run(
+            [
+                "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+                "-o", so, src, "-lpthread",
+            ],
+            check=True,
+            capture_output=True,
+        )
+    return ctypes.CDLL(so)
 
 
 def _load():
@@ -29,16 +46,7 @@ def _load():
         if _lib is not None or _failed:
             return _lib
         try:
-            if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
-                subprocess.run(
-                    [
-                        "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-                        "-o", _SO, _SRC, "-lpthread",
-                    ],
-                    check=True,
-                    capture_output=True,
-                )
-            lib = ctypes.CDLL(_SO)
+            lib = build_native_lib(_SRC, _SO)
             lib.fastio_load_boxes.argtypes = [
                 ctypes.c_char_p,
                 ctypes.c_long,

@@ -12,14 +12,14 @@ from __future__ import annotations
 
 import ctypes
 import os
-import subprocess
 import threading
 
 import numpy as np
 
-_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
-_SRC = os.path.join(_NATIVE_DIR, "resize.cpp")
-_SO = os.path.join(_NATIVE_DIR, "libresize.so")
+from .fastio import NATIVE_DIR, build_native_lib
+
+_SRC = os.path.join(NATIVE_DIR, "resize.cpp")
+_SO = os.path.join(NATIVE_DIR, "libresize.so")
 _lock = threading.Lock()
 _lib = None
 _failed = False
@@ -31,16 +31,7 @@ def _load():
         if _lib is not None or _failed:
             return _lib
         try:
-            if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
-                subprocess.run(
-                    [
-                        "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-                        "-o", _SO, _SRC, "-lpthread",
-                    ],
-                    check=True,
-                    capture_output=True,
-                )
-            lib = ctypes.CDLL(_SO)
+            lib = build_native_lib(_SRC, _SO)
             lib.resize_bilinear_f32.restype = ctypes.c_int
             lib.resize_bilinear_f32.argtypes = [
                 ctypes.POINTER(ctypes.c_float),  # img

@@ -36,12 +36,12 @@ def timeit(name, fn, iters=8):
     fn_j = jax.jit(fn)
     t0 = time.perf_counter()
     carry = fn_j(carry, 0)
-    jax.block_until_ready(carry)
+    float(carry)  # value fetch; block_until_ready is a no-op on axon
     compile_s = time.perf_counter() - t0
     t0 = time.perf_counter()
     for i in range(iters):
         carry = fn_j(carry, i + 1)
-    jax.block_until_ready(carry)
+    float(carry)  # value fetch; block_until_ready is a no-op on axon
     dt = (time.perf_counter() - t0) / iters * 1e3
     print(f"{name:55s} {dt:8.2f} ms/iter   (compile {compile_s:.1f}s)",
           flush=True)

@@ -18,7 +18,6 @@ from edgeml_tpu.ops.nms import (
     PAIR_B1,
     PAIR_T,
     _emit,
-    _gather_cls,
     topk1d,
 )
 from edgeml_tpu.utils.synth import hash_uniform
@@ -50,21 +49,20 @@ def build(mode):
             bt, bp = jax.vmap(sel_boxes)(obj, cls)
             return acc + bt.astype(jnp.float32).sum() * 1e-9 + bp.sum() * 1e-12
 
-        def gathers(o, x, c, packed):
+        def gathers(o, x, c):
+            # plain narrow gathers (the packed-cls variant left with the
+            # packed trunk — measured net loss, ops/nms.py _gather_rows note)
             bt, bp = sel_boxes(o, c)
-            rows = _gather_cls(c, bp) if packed else c[bp]
-            return bt, x[bp], o[bp], rows
+            return bt, x[bp], o[bp], c[bp]
 
-        if mode in ("gather", "gather_packed"):
-            bt, xp, op, rows = jax.vmap(
-                lambda o, x, c: gathers(o, x, c, mode == "gather_packed")
-            )(obj, xywh, cls)
+        if mode == "gather":
+            bt, xp, op, rows = jax.vmap(gathers)(obj, xywh, cls)
             return acc + bt.astype(jnp.float32).sum() * 1e-9 \
                 + xp.sum() * 1e-12 + op.astype(jnp.float32).sum() * 1e-9 \
                 + rows.astype(jnp.float32).sum() * 1e-9
 
         def pair_old(o, x, c):
-            bt, xp, op, rows = gathers(o, x, c, True)
+            bt, xp, op, rows = gathers(o, x, c)
             m = jnp.where(
                 (bt[:, None] > 0) & (rows * op[:, None] > CONF),
                 rows * op[:, None], -1.0,
@@ -73,7 +71,7 @@ def build(mode):
             return ts, ti // NC, ti % NC, xp, m
 
         def pair_new(o, x, c):
-            bt, xp, op, rows = gathers(o, x, c, True)
+            bt, xp, op, rows = gathers(o, x, c)
             m = jnp.where(
                 (bt[:, None] > 0) & (rows * op[:, None] > CONF),
                 rows * op[:, None], -1.0,
@@ -91,7 +89,7 @@ def build(mode):
 
         def pair_rowsonly(o, x, c):
             # tier-2 machinery alone (cost probe for per-row top_k)
-            bt, xp, op, rows = gathers(o, x, c, True)
+            bt, xp, op, rows = gathers(o, x, c)
             m = rows * op[:, None]
             v, i = jax.lax.top_k(m[PAIR_B1:], PAIR_T + 1)
             return v, i
@@ -120,7 +118,7 @@ def build(mode):
 
 
 modes = [
-    "trunk", "boxtopk", "gather", "gather_packed", "pair_rows_probe",
+    "trunk", "boxtopk", "gather", "pair_rows_probe",
     "pair_old", "pair_new", "emit_old", "emit_new",
 ]
 prev = {}

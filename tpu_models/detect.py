@@ -181,7 +181,8 @@ def getargs():
     args.add_argument('--bf16', action="store_true",
                       help="bfloat16 serving (backbone + scores; boxes stay "
                            "f32) — the reference's --half analogue for TPU. "
-                           "Not supported for faster_rcnn (stays f32).")
+                           "All four families; faster_rcnn keeps its decision "
+                           "stages (proposals, NMS, box decode) in f32.")
     args.add_argument('--int8', action="store_true",
                       help="int8 post-training-quantized serving trunk "
                            "(YOLO only; calibrated on the first batch of "

@@ -303,7 +303,8 @@ def getargs():
     args.add_argument("--bf16", action="store_true",
                       help="bfloat16 mixed-precision training (f32 master "
                            "weights/optimizer/BN stats; the reference "
-                           "engine's --amp equivalent). yolov5/ssd/retinanet.")
+                           "engine's --amp equivalent). All four families; "
+                           "faster_rcnn keeps its decision stages f32.")
     return args.parse_args()
 
 
