@@ -165,5 +165,10 @@ def greedy_keep_mask_fused(boxes: jax.Array, scores: jax.Array,
     off = boxes.astype(jnp.float32)
     offt = jnp.swapaxes(off, 1, 2)  # (B, 4, K)
     sc = jnp.where(scores > 0, 1.0, 0.0).astype(jnp.float32)[:, None, :]
-    out = _fused_partitioned(float(iou_thres), interpret)(off, offt, sc)
+    if jax.device_count() > 1:
+        out = _fused_partitioned(float(iou_thres), interpret)(off, offt, sc)
+    else:
+        # single chip: nothing to partition — keep the raw launch on the
+        # measured hot path
+        out = _pallas_call(off, offt, sc, float(iou_thres), interpret)
     return out[:, 0, :] > 0.0
