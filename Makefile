@@ -17,12 +17,15 @@ test-fast:
 bench:
 	python bench.py
 
-native: native/libfastio.so native/libresize.so
+native: native/libfastio.so native/libresize.so native/libaug.so
 
 native/libfastio.so: native/fastio.cpp
 	g++ -O3 -shared -fPIC -std=c++17 -o $@ $< -lpthread
 
 native/libresize.so: native/resize.cpp
+	g++ -O3 -shared -fPIC -std=c++17 -o $@ $< -lpthread
+
+native/libaug.so: native/aug.cpp
 	g++ -O3 -shared -fPIC -std=c++17 -o $@ $< -lpthread
 
 .PHONY: test test-fast bench native

@@ -96,8 +96,33 @@ def resize_bilinear(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
         # peaks exactly on the source pixel) — common in letterboxing when
         # one image side already matches the target
         return np.array(img, dtype=np.float32, order="C", copy=True)
+    return _eval_taps(img, out_h, out_w,
+                      _linear_taps(img.shape[0], out_h),
+                      _linear_taps(img.shape[1], out_w))
+
+
+def resize_bilinear_window(img: np.ndarray, out_h: int, out_w: int,
+                           y0: int, y1: int, x0: int, x1: int) -> np.ndarray:
+    """The [y0:y1, x0:x1] window of resize_bilinear(img, out_h, out_w),
+    computed directly: each output row/column depends only on its own taps,
+    so slicing the tap tables yields the identical pixels at the window's
+    fraction of the work. mosaic4 pastes only the visible part of each
+    quadrant — on average ~3/4 of the resized image — so the clipped rest
+    is never computed."""
+    if (out_h, out_w) == img.shape[:2]:  # identity taps (see resize_bilinear)
+        return np.array(img[y0:y1, x0:x1], dtype=np.float32, order="C",
+                        copy=True)
     jh, wh = _linear_taps(img.shape[0], out_h)
     jw, ww = _linear_taps(img.shape[1], out_w)
+    return _eval_taps(img, y1 - y0, x1 - x0,
+                      (jh[y0:y1], wh[y0:y1]), (jw[x0:x1], ww[x0:x1]))
+
+
+def _eval_taps(img, out_h, out_w, row_taps, col_taps):
+    """Evaluate banded resampling taps: native fused kernel when available,
+    per-tap NumPy accumulation otherwise (identical weights either way)."""
+    jh, wh = row_taps
+    jw, ww = col_taps
     from .fastresize import native_resize
 
     # native fused kernel (native/resize.cpp) — same taps, one pass per

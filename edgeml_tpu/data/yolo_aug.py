@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from .loader import resize_bilinear
+from .loader import resize_bilinear, resize_bilinear_window
 
 FILL = 114.0 / 255.0
 
@@ -62,19 +62,41 @@ def _hsv_to_rgb(h: np.ndarray, s: np.ndarray, v: np.ndarray):
     return np.stack([r, g, b], axis=-1)
 
 
-def hsv_jitter(img: np.ndarray, rng: np.random.Generator,
-               hgain: float = 0.015, sgain: float = 0.7,
-               vgain: float = 0.4) -> np.ndarray:
-    """ultralytics augment_hsv on float RGB in [0, 1]: random gains
-    r = 1 + U(-1, 1) * gain applied to (h, s, v); h wraps, s/v clip."""
-    rh, rs, rv = rng.uniform(-1, 1, 3) * (hgain, sgain, vgain) + 1.0
-    if rh == rs == rv == 1.0:
-        return img
+def hsv_gains(rng: np.random.Generator, hgain: float = 0.015,
+              sgain: float = 0.7, vgain: float = 0.4) -> np.ndarray:
+    """The ultralytics augment_hsv gain draw: r = 1 + U(-1, 1) * gain per
+    (h, s, v) channel. Split out so device-mode HSV (ops/color.py) consumes
+    the identical random stream as the host path."""
+    return rng.uniform(-1, 1, 3) * (hgain, sgain, vgain) + 1.0
+
+
+def _hsv_jitter_numpy(img: np.ndarray, rh, rs, rv) -> np.ndarray:
     h, s, v = _rgb_to_hsv(img)
     h = (h * rh) % 1.0
     s = np.clip(s * rs, 0.0, 1.0)
     v = np.clip(v * rv, 0.0, 1.0)
     return _hsv_to_rgb(h, s, v).astype(img.dtype)
+
+
+def hsv_jitter(img: np.ndarray, rng: np.random.Generator,
+               hgain: float = 0.015, sgain: float = 0.7,
+               vgain: float = 0.4) -> np.ndarray:
+    """ultralytics augment_hsv on float RGB in [0, 1]: random gains
+    r = 1 + U(-1, 1) * gain applied to (h, s, v); h wraps, s/v clip.
+
+    Evaluated by the fused native kernel (native/aug.cpp) when available —
+    one pass per pixel vs ~30 NumPy full-plane temporaries, ~60x on one
+    core — with the NumPy expression kept as oracle and fallback."""
+    rh, rs, rv = hsv_gains(rng, hgain, sgain, vgain)
+    if rh == rs == rv == 1.0:
+        return img
+    if img.dtype == np.float32 and img.shape[-1] == 3:
+        from .fastaug import native_hsv_jitter
+
+        out = native_hsv_jitter(img, rh, rs, rv)
+        if out is not None:
+            return out
+    return _hsv_jitter_numpy(img, rh, rs, rv)
 
 
 # ---------------------------------------------------------------------------
@@ -99,7 +121,6 @@ def mosaic4(images: list, labels: list, size: int, rng: np.random.Generator):
         h0, w0 = img.shape[:2]
         r = s / max(h0, w0)
         h, w = int(round(h0 * r)), int(round(w0 * r))
-        im = resize_bilinear(img, h, w) if (h, w) != (h0, w0) else img
         if qi == 0:  # top-left of center
             x1a, y1a = max(xc - w, 0), max(yc - h, 0)
             x2a, y2a = xc, yc
@@ -116,9 +137,11 @@ def mosaic4(images: list, labels: list, size: int, rng: np.random.Generator):
             x1a, y1a = xc, yc
             x2a, y2a = min(xc + w, 2 * s), min(yc + h, 2 * s)
             x1b, y1b = 0, 0
-        canvas[y1a:y2a, x1a:x2a] = im[
-            y1b : y1b + (y2a - y1a), x1b : x1b + (x2a - x1a)
-        ]
+        # resample ONLY the visible window of the quadrant (identical pixels
+        # to a full resize + crop; the clipped remainder is never computed)
+        canvas[y1a:y2a, x1a:x2a] = resize_bilinear_window(
+            img, h, w, y1b, y1b + (y2a - y1a), x1b, x1b + (x2a - x1a)
+        )
         if len(cls):
             bx = xyxy * np.array([w, h, w, h], np.float32)
             bx[:, [0, 2]] += x1a - x1b
@@ -213,16 +236,25 @@ def scale_translate(canvas: np.ndarray, cls: np.ndarray, boxes: np.ndarray,
 
 def yolo_augment_batch(examples: list, size: int, base_rng_key,
                        scale: float = 0.5, translate: float = 0.1,
-                       fliplr: float = 0.5, hsv: bool = True):
+                       fliplr: float = 0.5, hsv=True):
     """One training batch through the full recipe.
 
     :param examples: list of (image HWC float [0,1], (cls, xyxy normalized)).
     :param base_rng_key: sequence seeding np.random.default_rng per sample
         (e.g. [seed, epoch, batch_index]).
+    :param hsv: True — apply HSV jitter on the host; False — no jitter;
+        "device" — draw the per-image gains from the SAME rng stream but
+        leave the pixels untouched, returning the gains for the training
+        step to apply on-TPU (ops/color.hsv_jitter): the jitter is
+        elementwise, so fused into the device step it is ~free, while a
+        single loader core pays tens of ms per image.
     :return: (images (B, size, size, 3) float32,
-        rows list of (m, 5) [cls, x, y, w, h] normalized per image).
+        rows list of (m, 5) [cls, x, y, w, h] normalized per image)
+        — plus gains (B, 3) float32 when hsv == "device".
     """
     b = len(examples)
+    device_hsv = hsv == "device"
+    gains = np.ones((b, 3), np.float32) if device_hsv else None
     out_imgs = np.empty((b, size, size, 3), np.float32)
     out_rows = []
     for i in range(b):
@@ -234,7 +266,9 @@ def yolo_augment_batch(examples: list, size: int, base_rng_key,
         img, cls, boxes = scale_translate(
             canvas, cls, boxes, size, rng, scale, translate
         )
-        if hsv:
+        if device_hsv:
+            gains[i] = hsv_gains(rng)  # same stream position as host mode
+        elif hsv:
             img = hsv_jitter(img, rng)
         if rng.random() < fliplr:
             img = img[:, ::-1]
@@ -251,4 +285,6 @@ def yolo_augment_batch(examples: list, size: int, base_rng_key,
         else:
             rows = np.zeros((0, 5), np.float32)
         out_rows.append(rows)
+    if device_hsv:
+        return out_imgs, out_rows, gains
     return out_imgs, out_rows

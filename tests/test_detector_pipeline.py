@@ -220,6 +220,26 @@ def test_train_cli_with_augmentation(dataset):
     assert (tmp / "ckpt_aug" / "checkpoint.pth").exists()
 
 
+def test_train_cli_yolo_augment_hsv_modes(dataset):
+    """--augment yolo with HSV on the device (default) and on the host:
+    both run the full mosaic/affine/flip recipe through the streaming
+    loader; the device mode applies ops/color.hsv_jitter inside the step."""
+    tmp, img_dir, lab_dir = dataset
+    import train as train_cli
+
+    for mode in ("device", "host"):
+        ns = types.SimpleNamespace(
+            img_dir=img_dir, save_dir=str(tmp / f"ckpt_yolo_{mode}"),
+            label_dir=lab_dir, model="yolov5n", dataset="voc", batch_size=4,
+            epochs=1, opt="sgd", lr=0.01, momentum=0.9, weight_decay=1e-4,
+            lr_scheduler="multisteplr", lr_steps=[16, 22], lr_gamma=0.1,
+            resume="", start_epoch=0, img_size=64, max_targets=8,
+            print_freq=1, seed=0, augment="yolo", yolo_hsv=mode,
+        )
+        train_cli.main(ns)
+        assert (tmp / f"ckpt_yolo_{mode}" / "checkpoint.pth").exists()
+
+
 def test_detect_cli_torchvision_family(dataset):
     """detect.py with an anchor-family model (_detect_generic path): per-image
     files in the same normalized (cls, x, y, w, h, conf) contract, with the

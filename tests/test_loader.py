@@ -60,6 +60,26 @@ def test_native_resize_matches_numpy_fallback(monkeypatch):
     assert np.abs(native - fallback).max() < 2e-6
 
 
+def test_resize_window_matches_full_crop():
+    """resize_bilinear_window computes exactly the [y0:y1, x0:x1] crop of the
+    full resize (tap-table slicing; mosaic4 relies on this for its clipped
+    quadrants), including the identity-size shortcut."""
+    from edgeml_tpu.data.loader import resize_bilinear_window
+
+    rng = np.random.default_rng(9)
+    for shape, out, win in [
+        ((480, 640), (640, 853), (10, 500, 0, 853)),
+        ((100, 300), (640, 640), (0, 640, 321, 640)),
+        ((640, 640), (320, 320), (100, 200, 50, 320)),
+        ((64, 64), (64, 64), (5, 40, 10, 30)),  # identity shortcut
+    ]:
+        img = rng.random(shape + (3,)).astype(np.float32)
+        full = resize_bilinear(img, *out)
+        y0, y1, x0, x1 = win
+        got = resize_bilinear_window(img, out[0], out[1], y0, y1, x0, x1)
+        np.testing.assert_array_equal(got, full[y0:y1, x0:x1])
+
+
 def _make_imgdir(tmp_path, n, seed=0):
     rng = np.random.default_rng(seed)
     d = tmp_path / "imgs"

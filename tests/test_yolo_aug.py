@@ -43,6 +43,75 @@ def test_hsv_zero_gains_identity_and_range():
     assert not np.allclose(out, img)  # gains actually applied
 
 
+def test_hsv_native_matches_numpy_oracle():
+    """The fused native kernel (native/aug.cpp) evaluates the exact NumPy
+    expression; parity at float-rounding tolerance incl. the grey/black/
+    saturated edge pixels and mod-wrapping extreme gains."""
+    from edgeml_tpu.data.fastaug import native_hsv_jitter
+    from edgeml_tpu.data.yolo_aug import _hsv_jitter_numpy, hsv_gains
+
+    rng = np.random.default_rng(7)
+    img = rng.random((64, 64, 3), dtype=np.float32)
+    img[0] = 0.5  # grey: diff == 0
+    img[1] = 0.0  # black: mx == 0
+    img[2, :, :] = [1, 0, 0]
+    img[3, :, :] = [0, 1, 0]
+    img[4, :, :] = [0, 0, 1]
+    out = native_hsv_jitter(img, 1.01, 1.2, 0.9)
+    if out is None:
+        pytest.skip("native aug kernel unavailable")
+    cases = [tuple(hsv_gains(np.random.default_rng(t))) for t in range(6)]
+    cases += [(3.7, 0.2, 1.4), (-0.8, 1.9, 0.1), (0.0, 1.0, 1.0)]
+    for gains in cases:
+        ref = _hsv_jitter_numpy(img, *gains)
+        got = native_hsv_jitter(img, *gains)
+        np.testing.assert_allclose(got, ref, atol=2e-6)
+
+
+def test_hsv_device_matches_numpy_oracle():
+    """ops/color.hsv_jitter (the on-device jitter) matches the host NumPy
+    expression per image at float32 tolerance."""
+    from edgeml_tpu.ops.color import hsv_jitter as hsv_dev
+    from edgeml_tpu.data.yolo_aug import _hsv_jitter_numpy, hsv_gains
+
+    rng = np.random.default_rng(11)
+    imgs = rng.random((3, 32, 32, 3)).astype(np.float32)
+    imgs[0, 0] = 0.5
+    imgs[1, 0] = 0.0
+    gains = np.stack([hsv_gains(np.random.default_rng(t)) for t in range(3)])
+    got = np.asarray(hsv_dev(imgs, gains.astype(np.float32)))
+    for k in range(3):
+        ref = _hsv_jitter_numpy(imgs[k], *gains[k])
+        np.testing.assert_allclose(got[k], ref, atol=3e-6)
+
+
+def test_yolo_augment_batch_device_mode_geometry_and_gains():
+    """hsv='device' leaves pixels un-jittered but draws gains from the SAME
+    rng stream: applying the returned gains on the host reproduces the
+    hsv=True output exactly (geometry incl. the flip decisions match)."""
+    from edgeml_tpu.data.yolo_aug import _hsv_jitter_numpy
+
+    size = 64
+    rng = np.random.default_rng(5)
+    exs = []
+    for _ in range(4):
+        img = rng.random((size, size, 3)).astype(np.float32)
+        exs.append((img, (np.array([0.0]),
+                          np.array([[0.2, 0.2, 0.7, 0.7]], np.float32))))
+    host_imgs, host_rows = yolo_augment_batch(exs, size, [3, 1, 0], hsv=True)
+    dev_imgs, dev_rows, gains = yolo_augment_batch(
+        exs, size, [3, 1, 0], hsv="device"
+    )
+    assert gains.shape == (4, 3) and gains.dtype == np.float32
+    for ra, rb in zip(host_rows, dev_rows):
+        np.testing.assert_array_equal(ra, rb)
+    for k in range(4):
+        np.testing.assert_allclose(
+            _hsv_jitter_numpy(dev_imgs[k], *gains[k].astype(np.float64)),
+            host_imgs[k], atol=3e-6,
+        )
+
+
 def test_hsv_roundtrip_identity():
     """rgb -> hsv -> rgb is the identity (validates the color math)."""
     from edgeml_tpu.data.yolo_aug import _hsv_to_rgb, _rgb_to_hsv

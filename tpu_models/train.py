@@ -130,6 +130,17 @@ def main(opts):
     if yolo_aug and not is_yolo:
         raise SystemExit("--augment yolo is the YOLOv5 training recipe; "
                          "use it with a yolov5* model")
+    # HSV jitter placement: "device" (default) keeps the loader geometric
+    # (mosaic + affine + flip) and applies the elementwise colour jitter
+    # inside the accelerator step — on a TPU it fuses into existing HBM
+    # traffic, while a loader core pays tens of ms per 640px image.
+    hsv_mode = getattr(opts, "yolo_hsv", "device")
+    hsv_arg = "device" if hsv_mode == "device" else (hsv_mode == "host")
+    hsv_apply = None
+    if yolo_aug and hsv_mode == "device":
+        from edgeml_tpu.ops.color import hsv_jitter as _hsv_dev
+
+        hsv_apply = jax.jit(_hsv_dev)
     augment = None if yolo_aug else _build_augment(getattr(opts, "augment", "none"))
     epoch_state = {"epoch": 0}  # read by loader threads between epochs
     file_index = {f: i for i, f in enumerate(files)}
@@ -176,11 +187,15 @@ def main(opts):
                     np.zeros(0, np.float32), np.zeros((0, 4), np.float32)
                 )
                 ex.append((im, (cls, xyxy)))
-            lb, rows = yolo_augment_batch(
+            res = yolo_augment_batch(
                 ex, size,
                 [opts.seed, epoch_state["epoch"], file_index[items[0][0]]],
+                hsv=hsv_arg,
             )
+            lb, rows = res[0], res[1]
             targets, valid = pad_targets(rows, opts.max_targets)
+            if len(res) == 3:  # device-mode HSV: per-image gains ride along
+                return lb, targets, valid, res[2]
             return lb, targets, valid
         pairs = [example(file_index[f], im) for f, im in items]
         imgs = [im for im, _ in pairs]
@@ -218,11 +233,14 @@ def main(opts):
         logger = MetricLogger()
         perm = rng.permutation(n)
         it = 0
-        for lb_np, targets, valid in iter_batches(
+        for batch in iter_batches(
             img_dir, files, bs, make_batch,
             order=perm, prefetch=getattr(opts, "prefetch", 2), drop_last=True,
         ):
+            lb_np, targets, valid = batch[0], batch[1], batch[2]
             imgs = jnp.asarray(lb_np)
+            if len(batch) == 4:  # device-mode HSV jitter (ops/color.py)
+                imgs = hsv_apply(imgs, jnp.asarray(batch[3]))
             targets, valid = jnp.asarray(targets), jnp.asarray(valid)
             if mesh is not None:
                 imgs = shard_along(imgs, mesh)
@@ -299,6 +317,11 @@ def getargs():
                            "ssd preset (photometric + zoom-out + IoU crop + flip), or "
                            "yolo (the ultralytics recipe: mosaic-4 + scale/translate "
                            "affine + HSV jitter + flip; yolov5 models only)")
+    args.add_argument("--yolo-hsv", default="device",
+                      choices=["device", "host", "off"],
+                      help="where --augment yolo applies its HSV jitter: on the "
+                           "accelerator (default; elementwise, fuses into the step), "
+                           "on the loader host (reference placement), or disabled")
     args.add_argument("--seed", default=0, type=int, help="init/shuffle seed")
     args.add_argument("--bf16", action="store_true",
                       help="bfloat16 mixed-precision training (f32 master "
