@@ -34,11 +34,14 @@ def _nms_unmap(pred, meta, orig_hw, conf_thres, iou_thres,
     run_detection) — an in-program lax.cond costs ~8 ms/128-batch even when
     the fast branch is taken.
 
-    pred: (obj, xywh, cls) from predict()."""
+    pred: (best, xywh, conf) from predict(fuse_conf=True) — the serving
+    pipeline always runs the conf_fused tail (bit-identical detections,
+    no full-matrix pass, no obj gather)."""
     obj, xywh, cls = pred
     nms_out = nms_split_batch(
         obj, xywh, cls, conf_thres, iou_thres,
         max_det=max_det, multi_label=multi_label, fallback=fallback,
+        conf_fused=True,
     )
     dets, valid = nms_out[:2]
     out_extra = nms_out[2:]  # (ok,) in flag mode
@@ -97,9 +100,9 @@ def _detect_batch(
     if q8 is not None:
         from .quant import q8_predict
 
-        pred = q8_predict(net, q8, images, score_dtype=dtype)
+        pred = q8_predict(net, q8, images, score_dtype=dtype, fuse_conf=True)
     else:
-        pred = net.predict(params, stats, images, dtype=dtype)
+        pred = net.predict(params, stats, images, dtype=dtype, fuse_conf=True)
     return _nms_unmap(pred, meta, orig_hw, conf_thres, iou_thres,
                       max_det, multi_label)
 
@@ -112,7 +115,7 @@ def _detect_pipe_step(
     net: YoloV5,
     params,
     stats,
-    prev,  # ((obj, xywh, cls), meta, orig_hw) of the PREVIOUS batch
+    prev,  # ((best, xywh, conf), meta, orig_hw) of the PREVIOUS batch
     images,  # (B, S, S, 3) THIS batch
     meta,
     orig_hw,
@@ -140,9 +143,9 @@ def _detect_pipe_step(
     if q8 is not None:
         from .quant import q8_predict
 
-        new = q8_predict(net, q8, images, score_dtype=dtype)
+        new = q8_predict(net, q8, images, score_dtype=dtype, fuse_conf=True)
     else:
-        new = net.predict(params, stats, images, dtype=dtype)
+        new = net.predict(params, stats, images, dtype=dtype, fuse_conf=True)
     dets, valid, ok = _nms_unmap(ppred, pmeta, phw, conf_thres,
                                  iou_thres, max_det, multi_label,
                                  fallback="flag")
@@ -161,10 +164,12 @@ def exact_redo(prev, conf_thres, iou_thres, max_det=300, multi_label=True):
 def _zero_carry(net: YoloV5, batch: int, size: int, dtype=None):
     """A zero previous-batch carry for priming _detect_pipe_step.
 
-    dtype must match the serving dtype passed to the step: predict emits
-    obj/cls in that dtype (boxes stay f32), and a mismatched zero carry
-    would recompile the step on its second invocation — mid-loop, if the
-    caller timed only one warmup step.
+    The carry holds predict(fuse_conf=True)'s (best, xywh, conf); zeros are
+    a consistent instance (best 0 -> no candidates). dtype must match the
+    serving dtype passed to the step: predict emits best/conf in that dtype
+    (boxes stay f32), and a mismatched zero carry would recompile the step
+    on its second invocation — mid-loop, if the caller timed only one
+    warmup step.
     """
     n = sum((size // s) ** 2 * net.na for s in STRIDES)
     sdt = jnp.float32 if dtype is None else dtype

@@ -260,9 +260,10 @@ class Q8Yolo:
         )
         return feats
 
-    def predict(self, x, score_dtype=None):
+    def predict(self, x, score_dtype=None, fuse_conf=False):
         """Full int8 serving path; same output contract as YoloV5.predict:
-        (obj (B, N), xywh (B, N, 4) f32 pixel xywh, cls (B, N, nc)).
+        (obj (B, N), xywh (B, N, 4) f32 pixel xywh, cls (B, N, nc)) —
+        or (best, xywh, conf) with fuse_conf=True (see YoloV5.predict).
 
         The head follows YoloV5.predict's split-weight scheme — per-component
         1x1 convs on contiguous output-channel groups (weights, dq scales
@@ -302,7 +303,8 @@ class Q8Yolo:
                 h_obj = h_obj.astype(score_dtype)
                 h_cls = h_cls.astype(score_dtype)
             o, xw, cl = net.decode_level_split(
-                h_xy, h_wh, h_obj, h_cls, stride, anchors, na, nc)
+                h_xy, h_wh, h_obj, h_cls, stride, anchors, na, nc,
+                fuse_conf=fuse_conf)
             objs.append(o)
             xywhs.append(xw)
             clss.append(cl)
@@ -459,11 +461,12 @@ def prepare_int8(net: YoloV5, params, stats, images_fn, iters: int = 4):
     return Q8Yolo(net, qparams, scales, detect_q)
 
 
-def q8_predict(net: YoloV5, tree, x, score_dtype=None):
+def q8_predict(net: YoloV5, tree, x, score_dtype=None, fuse_conf=False):
     """Functional int8 serving entry: same contract as YoloV5.predict but
     over the quantized pytree (Q8Yolo.tree). `net` is static structure;
     `tree` and `x` are traced, so jitted callers (models/infer.py) keep the
-    quantized weights as runtime arguments. score_dtype: see
+    quantized weights as runtime arguments. score_dtype/fuse_conf: see
     Q8Yolo.predict."""
     return Q8Yolo(net, tree["qparams"], tree["scales"],
-                  tree["detect"]).predict(x, score_dtype=score_dtype)
+                  tree["detect"]).predict(x, score_dtype=score_dtype,
+                                          fuse_conf=fuse_conf)

@@ -322,7 +322,8 @@ class YoloV5:
         return heads, new_stats, tap_out
 
     @staticmethod
-    def decode_level_split(h_xy, h_wh, h_obj, h_cls, stride, anchors, na, nc):
+    def decode_level_split(h_xy, h_wh, h_obj, h_cls, stride, anchors, na, nc,
+                           fuse_conf: bool = False):
         """Anchor decode for one level from SPLIT head components (each a
         separate contiguous conv output — no (.., 85) minor-dim slicing).
         h_xy/h_wh must be float32 (+bias applied); h_obj/h_cls stay in their
@@ -330,7 +331,18 @@ class YoloV5:
         (predict) and the int8 path (quant.Q8Yolo.predict) so the box
         parameterization cannot drift between them.
 
-        Returns (obj (B, HWna), xywh (B, HWna, 4) f32, cls (B, HWna, nc))."""
+        Returns (obj (B, HWna), xywh (B, HWna, 4) f32, cls (B, HWna, nc)).
+
+        fuse_conf=True instead returns (best (B, HWna), xywh, conf
+        (B, HWna, nc)) where conf = sigmoid(obj) * sigmoid(cls) and best is
+        its row max — the pair-confidence matrix the NMS tail ranks. Fusing
+        the multiply + row-max into the head epilogue here (one VPU pass over
+        values XLA already touches) lets the tail skip BOTH its full-matrix
+        best-confidence pass and the per-box obj gather (ops/nms.py
+        conf_fused). Bit-identical to computing them tail-side: rounding is
+        monotone, so max_c round(cls_c*obj) == round(max_c(cls_c)*obj) in
+        any dtype, and the reference's obj > conf_thres gate is implied by
+        conf > conf_thres since conf <= obj elementwise."""
         b, hh, ww = h_obj.shape[:3]
         gx = jnp.arange(ww, dtype=jnp.float32)
         gy = jnp.arange(hh, dtype=jnp.float32)
@@ -340,19 +352,27 @@ class YoloV5:
         anc = jnp.asarray(anchors, jnp.float32)
         swh = jax.nn.sigmoid(h_wh).reshape(b, hh, ww, na, 2)
         wh = (swh * 2.0) ** 2 * anc[None, None, :, :]
-        return (
-            jax.nn.sigmoid(h_obj).reshape(b, -1),
-            jnp.concatenate([xy, wh], -1).reshape(b, -1, 4),
-            jax.nn.sigmoid(h_cls).reshape(b, -1, nc),
-        )
+        xywh = jnp.concatenate([xy, wh], -1).reshape(b, -1, 4)
+        obj = jax.nn.sigmoid(h_obj).reshape(b, -1)
+        cls = jax.nn.sigmoid(h_cls).reshape(b, -1, nc)
+        if fuse_conf:
+            conf = cls * obj[..., None]
+            return jnp.max(conf, axis=-1), xywh, conf
+        return obj, xywh, cls
 
-    def predict(self, params, stats, x, *, dtype=None):
+    def predict(self, params, stats, x, *, dtype=None, fuse_conf=False):
         """Serving path: trunk + SPLIT head convs + anchor decode, returning
         contiguous per-component arrays
 
             (obj (B, N), xywh (B, N, 4) pixel xywh-center, cls (B, N, nc)),
 
         N = sum over levels of H*W*na, row order identical to decode().
+
+        fuse_conf=True returns (best (B, N), xywh, conf (B, N, nc)) instead
+        — the pre-multiplied pair-confidence matrix and its row max, computed
+        in the head epilogue (see decode_level_split) so the NMS tail
+        (ops/nms.py conf_fused=True) never re-reads the full matrix or
+        gathers obj rows. Detections are bit-identical either way.
 
         Measured negative result (round 3): emitting cls pre-packed as f32
         bf16-pairs (bitcast in the head epilogue, to halve the NMS row-gather
@@ -399,7 +419,8 @@ class YoloV5:
             h_cls = conv2d(f, w[..., 5:].reshape(1, 1, -1, na * nc), 1) \
                 + bias[:, 5:].reshape(-1)
             o, xw, cl = self.decode_level_split(
-                h_xy, h_wh, h_obj, h_cls, stride, anchors, na, nc)
+                h_xy, h_wh, h_obj, h_cls, stride, anchors, na, nc,
+                fuse_conf=fuse_conf)
             objs.append(o)
             xywhs.append(xw)
             clss.append(cl)

@@ -237,7 +237,8 @@ def _emit_batch(cand_boxes, top_scores, cls_idx, iou_thres, max_det):
 
 @partial(
     jax.jit,
-    static_argnames=("max_det", "max_cand", "multi_label", "iou_thres"),
+    static_argnames=("max_det", "max_cand", "multi_label", "iou_thres",
+                     "conf_fused"),
 )
 def nms_split(
     obj: jax.Array,  # (N,) objectness, sigmoid space
@@ -248,6 +249,7 @@ def nms_split(
     max_det: int = 300,
     max_cand: int = 1024,
     multi_label: bool = True,
+    conf_fused: bool = False,
 ) -> tuple:
     """NMS over split decode components (YoloV5.predict output; vmap over
     images). Same semantics and return contract as non_max_suppression —
@@ -255,21 +257,32 @@ def nms_split(
     contiguous, so the objectness top_k and the candidate gathers avoid the
     strided minor-dim reads that dominate the packed-pred formulation on TPU.
 
+    conf_fused=True: the inputs come from predict(fuse_conf=True) — obj is
+    the precomputed per-box best confidence max_c(obj*cls_c) and cls is the
+    pre-multiplied confidence matrix. Multi-label results are bit-identical
+    to the unfused path; the single-label branch breaks bf16 score TIES by
+    confidence-matrix argmax instead of class-probability argmax (exact
+    arithmetic is unaffected).
+
     :return: (dets (max_det, 6) [x1, y1, x2, y2, conf, cls], valid (max_det,)).
     """
     n, nc = cls.shape
     if multi_label and nc > 1:
         top_scores, bxywh, col = _rank_pairs_exact(
             obj, xywh, cls, conf_thres, max_cand,
-            _use_keys(cls, n, min(max_cand, n)),
+            _use_keys(cls, n, min(max_cand, n)), fused=conf_fused,
         )
         cls_idx = col.astype(jnp.float32)
     else:
-        best_conf = jnp.max(cls, axis=1) * obj  # (N,) fused elementwise
+        if conf_fused:
+            best_conf = obj  # already max_c(obj*cls_c)
+            scores = jnp.where(best_conf > conf_thres, best_conf, -1.0)
+        else:
+            best_conf = jnp.max(cls, axis=1) * obj  # (N,) fused elementwise
+            scores = jnp.where(
+                (obj > conf_thres) & (best_conf > conf_thres), best_conf, -1.0
+            )
         best_cls = jnp.argmax(cls, axis=1)
-        scores = jnp.where(
-            (obj > conf_thres) & (best_conf > conf_thres), best_conf, -1.0
-        )
         k = min(max_cand, n)
         top_scores, box_pre = topk1d(scores, k)
         cls_idx = best_cls[box_pre].astype(jnp.float32)
@@ -290,7 +303,9 @@ _GATHER_ONEHOT = False
 
 def _gather_rows(box_pre, xywh, obj, cls):
     """Gather (xywh, obj, cls) rows for the selected boxes as separate
-    NARROW dynamic gathers. Exactness note: a one-hot f32 matmul looks like
+    NARROW dynamic gathers. obj=None (the conf_fused path: cls is already
+    the obj*cls confidence matrix) skips the obj gather entirely — one of
+    the three serial gathers gone. Exactness note: a one-hot f32 matmul looks like
     an exact gather but is NOT on TPU — matmul operands round to bfloat16 at
     default precision (box coordinates near 640 lose whole pixels), and only
     Precision.HIGHEST is bit-exact, at which point it no longer beats the
@@ -314,8 +329,9 @@ def _gather_rows(box_pre, xywh, obj, cls):
             oh, cls, (((1,), (0,)), ((), ())),
             preferred_element_type=cls.dtype,
         )
-        return xywh[box_pre], obj[box_pre], cls_rows
-    return xywh[box_pre], obj[box_pre], cls[box_pre]
+    else:
+        cls_rows = cls[box_pre]
+    return xywh[box_pre], None if obj is None else obj[box_pre], cls_rows
 
 
 def _pack17(x):
@@ -361,7 +377,7 @@ def _use_keys(cls, n, kb):
             and kb * nc <= (1 << 17))
 
 
-def _rank_pairs_exact(o, x, c, conf_thres, max_cand, by_key):
+def _rank_pairs_exact(o, x, c, conf_thres, max_cand, by_key, fused=False):
     """EXACT two-stage pair selection for one image: pre-filter boxes by
     their BEST pair confidence max_c(obj*cls_c), then rank all kb*nc pairs.
     Every box contributing a pair above the k-th pair confidence t
@@ -375,12 +391,23 @@ def _rank_pairs_exact(o, x, c, conf_thres, max_cand, by_key):
     by_key: rank packed integer keys instead of raw values (bf16 inputs —
     see _pack17); bit-identical on CPU, tie-deterministic on TPU.
 
+    fused: the conf_fused contract — o is the PRECOMPUTED row max of c and
+    c is already the obj*cls confidence matrix (trunk-side epilogue,
+    yolov5.decode_level_split fuse_conf). Skips the full-matrix max pass,
+    the obj gather, and the per-row multiply; bit-identical to the unfused
+    path (the obj > conf_thres gate is implied by conf <= obj).
+
     Returns (top_scores (k,), bxywh (k, 4), col (k,) int).
     """
     n, nc = c.shape
     kb = min(max_cand, n)
-    best = jnp.max(c, axis=1) * o  # (N,) fused elementwise
-    box_score = jnp.where((o > conf_thres) & (best > conf_thres), best, -1.0)
+    if fused:
+        box_score = jnp.where(o > conf_thres, o, -1.0)
+    else:
+        best = jnp.max(c, axis=1) * o  # (N,) fused elementwise
+        box_score = jnp.where(
+            (o > conf_thres) & (best > conf_thres), best, -1.0
+        )
     # At the YOLO 640 size (n=25200) a DIRECT lax.top_k measures faster
     # than chunking (15.7 vs 17.0 ms in-pipeline, tools/exp_round3.py) —
     # the TopK cliff does not bite at this n. Larger n (e.g. 1280-input
@@ -391,8 +418,10 @@ def _rank_pairs_exact(o, x, c, conf_thres, max_cand, by_key):
         best_top = _unpack17(bt_keys, box_pre)
     else:
         best_top, box_pre = topk1d(box_score, kb, chunk=chunk)
-    xywh_pre, obj_pre, cls_rows = _gather_rows(box_pre, x, o, c)
-    cls_conf = cls_rows * obj_pre[:, None]
+    xywh_pre, obj_pre, cls_rows = _gather_rows(
+        box_pre, x, None if fused else o, c
+    )
+    cls_conf = cls_rows if fused else cls_rows * obj_pre[:, None]
     flat = jnp.where(
         (best_top[:, None] > 0) & (cls_conf > conf_thres), cls_conf, -1.0
     ).reshape(-1)
@@ -420,7 +449,8 @@ PAIR_B1 = 128  # head boxes whose FULL class rows enter the pool
 PAIR_G = 384
 
 
-def _select_pairs_fast(o, x, c, conf_thres, g_rows, t_rows, k, by_key):
+def _select_pairs_fast(o, x, c, conf_thres, g_rows, t_rows, k, by_key,
+                       fused=False):
     """Per-image fast pair selection: box prefilter by best-pair confidence
     (exact, as in nms_split), then gather only the top g_rows boxes' class
     rows and rank a TWO-TIER pool instead of all kb*nc pairs:
@@ -477,14 +507,22 @@ def _select_pairs_fast(o, x, c, conf_thres, g_rows, t_rows, k, by_key):
     check stays STRICT (without canonical order a tie at rank g cannot be
     attributed to either side).
 
+    fused: the conf_fused contract (see _rank_pairs_exact) — o is the
+    precomputed row max of c, c is already the confidence matrix.
+
     Returns (top_scores (k,), row (k,), col (k,), xywh_pre (g, 4),
     ok scalar bool). Row/col index into the g gathered rows.
     """
     n, nc = c.shape
     g = min(g_rows, n)
     b1 = min(PAIR_B1, g)
-    best = jnp.max(c, axis=1) * o
-    box_score = jnp.where((o > conf_thres) & (best > conf_thres), best, -1.0)
+    if fused:
+        box_score = jnp.where(o > conf_thres, o, -1.0)
+    else:
+        best = jnp.max(c, axis=1) * o
+        box_score = jnp.where(
+            (o > conf_thres) & (best > conf_thres), best, -1.0
+        )
     need = min(g + 1, n)  # one extra for the hidden-row certificate
     chunk = n if n <= 25600 else 10240
     if by_key:
@@ -494,8 +532,10 @@ def _select_pairs_fast(o, x, c, conf_thres, g_rows, t_rows, k, by_key):
         best_top, box_pre = topk1d(box_score, need, chunk=chunk)
     hid_val = best_top[g] if need > g else None
     best_top, box_pre = best_top[:g], box_pre[:g]
-    xywh_pre, obj_pre, cls_rows = _gather_rows(box_pre, x, o, c)
-    cls_conf = cls_rows * obj_pre[:, None]
+    xywh_pre, obj_pre, cls_rows = _gather_rows(
+        box_pre, x, None if fused else o, c
+    )
+    cls_conf = cls_rows if fused else cls_rows * obj_pre[:, None]
     masked = jnp.where(
         (best_top[:, None] > 0) & (cls_conf > conf_thres), cls_conf, -1.0
     )
@@ -573,7 +613,7 @@ def _select_pairs_fast(o, x, c, conf_thres, g_rows, t_rows, k, by_key):
 @partial(
     jax.jit,
     static_argnames=("max_det", "max_cand", "multi_label", "iou_thres",
-                     "fallback", "pool"),
+                     "fallback", "pool", "conf_fused"),
 )
 def nms_split_batch(
     obj: jax.Array,  # (B, N)
@@ -586,6 +626,7 @@ def nms_split_batch(
     multi_label: bool = True,
     fallback: str = "cond",
     pool: bool = True,
+    conf_fused: bool = False,
 ) -> tuple:
     """Batched nms_split with the fast pair-selection pool.
 
@@ -606,6 +647,11 @@ def nms_split_batch(
     per image plus the batched (fused on TPU) suppressor, no cond and no
     certificate. Same results; the right mode for callers whose N/nc shapes
     don't match the YOLO-tuned pool constants (SSD/RetinaNet postprocess).
+
+    conf_fused=True: inputs are (best, xywh, conf) from
+    predict(fuse_conf=True) — see nms_split. Multi-label results are
+    bit-identical to the unfused inputs; the tail drops its full-matrix
+    best-confidence pass and the per-box obj gather.
     """
     b, n = obj.shape
     nc = cls.shape[-1]
@@ -625,14 +671,16 @@ def nms_split_batch(
             # agree by construction (including the keyed tie order).
             return jax.vmap(
                 lambda o1, x1, c1: _rank_pairs_exact(
-                    o1, x1, c1, conf_thres, max_cand, by_key
+                    o1, x1, c1, conf_thres, max_cand, by_key,
+                    fused=conf_fused,
                 )
             )(obj, xywh, cls)
 
         if pool:
             top_scores, row, col, xywh_pre, ok = jax.vmap(
                 lambda o, x, c: _select_pairs_fast(
-                    o, x, c, conf_thres, g, t_rows, k, by_key
+                    o, x, c, conf_thres, g, t_rows, k, by_key,
+                    fused=conf_fused,
                 )
             )(obj, xywh, cls)
 
@@ -663,6 +711,7 @@ def nms_split_batch(
             lambda o, x, c: nms_split(
                 o, x, c, conf_thres, iou_thres,
                 max_det=max_det, max_cand=max_cand, multi_label=multi_label,
+                conf_fused=conf_fused,
             )
         )(obj, xywh, cls)
         all_ok = jnp.asarray(True)

@@ -337,3 +337,60 @@ def test_run_detection_bf16_onehot_gather_files_equal(tmp_path):
         a = np.load(out_a / f"im{i}.npy")
         b = np.load(out_b / f"im{i}.npy")
         np.testing.assert_array_equal(b, a)
+
+
+def _fused_inputs(obj, xywh, cls):
+    """The predict(fuse_conf=True) contract from raw components: conf =
+    obj * cls, best = row max of conf (same op order as the trunk epilogue,
+    yolov5.decode_level_split)."""
+    conf = cls * obj[..., None]
+    return jnp.max(conf, axis=-1), xywh, conf
+
+
+@pytest.mark.parametrize("hot", [0, 200])
+def test_conf_fused_matches_unfused(hot):
+    """conf_fused inputs (precomputed best + confidence matrix) give
+    bit-identical detections to the raw (obj, cls) path — on the fast pool
+    (hot=0) AND through the exact fallback (hot=200). The obj > conf_thres
+    gate the fused path drops is implied by conf <= obj."""
+    rng = np.random.default_rng(21 + hot)
+    obj, xywh, cls = make_case(rng, 2, 600, 80, hot_boxes=hot)
+    kw = dict(conf_thres=1e-4, iou_thres=0.6, max_det=64, max_cand=256)
+    d_ref, v_ref = nms_split_batch(obj, xywh, cls, **kw)
+    best, xywh_f, conf = _fused_inputs(obj, xywh, cls)
+    d, v = nms_split_batch(best, xywh_f, conf, conf_fused=True, **kw)
+    np.testing.assert_array_equal(np.asarray(v), np.asarray(v_ref))
+    np.testing.assert_array_equal(np.asarray(d), np.asarray(d_ref))
+
+
+def test_conf_fused_bf16_flag_mode():
+    """bf16 keyed ranking under conf_fused: certificate verdict and results
+    match the unfused flag-mode run bit-for-bit (bf16 products round the
+    same whether multiplied trunk-side or tail-side)."""
+    rng = np.random.default_rng(23)
+    obj, xywh, cls = make_case(rng, 2, 2000, 80)
+    obj16 = jnp.asarray(obj, jnp.bfloat16)
+    cls16 = jnp.asarray(cls, jnp.bfloat16)
+    kw = dict(conf_thres=1e-4, iou_thres=0.6, max_det=64, max_cand=1024)
+    d_ref, v_ref, ok_ref = nms_split_batch(
+        obj16, xywh, cls16, fallback="flag", **kw
+    )
+    best, xywh_f, conf = _fused_inputs(obj16, xywh, cls16)
+    d, v, ok = nms_split_batch(
+        best, xywh_f, conf, fallback="flag", conf_fused=True, **kw
+    )
+    assert bool(ok) == bool(ok_ref)
+    np.testing.assert_array_equal(np.asarray(v), np.asarray(v_ref))
+    np.testing.assert_array_equal(np.asarray(d), np.asarray(d_ref))
+
+
+def test_conf_fused_single_label():
+    rng = np.random.default_rng(24)
+    obj, xywh, cls = make_case(rng, 2, 400, 20)
+    kw = dict(conf_thres=1e-3, iou_thres=0.5, max_det=32, max_cand=64,
+              multi_label=False)
+    d_ref, v_ref = nms_split_batch(obj, xywh, cls, **kw)
+    best, xywh_f, conf = _fused_inputs(obj, xywh, cls)
+    d, v = nms_split_batch(best, xywh_f, conf, conf_fused=True, **kw)
+    np.testing.assert_array_equal(np.asarray(v), np.asarray(v_ref))
+    np.testing.assert_array_equal(np.asarray(d), np.asarray(d_ref))

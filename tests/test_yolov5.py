@@ -419,3 +419,24 @@ def test_calibrate_bn_pools_all_batches():
 
     for v in vars(pooled):
         assert float(jnp.min(v)) >= 0.0
+
+
+def test_predict_fuse_conf_matches_manual():
+    """predict(fuse_conf=True) returns (best, xywh, conf) bit-equal to
+    computing conf = obj * cls and its row max from the unfused outputs —
+    in f32 and bf16 (the serving tail's conf_fused contract)."""
+    net = YoloV5(variant="n", num_classes=8, img_size=64)
+    params, stats = net.init(jax.random.PRNGKey(6))
+    x = jax.random.uniform(jax.random.PRNGKey(7), (2, 64, 64, 3))
+    for dt in (None, jnp.bfloat16):
+        obj, xywh, cls = net.predict(params, stats, x, dtype=dt)
+        best, xywh_f, conf = net.predict(
+            params, stats, x, dtype=dt, fuse_conf=True
+        )
+        np.testing.assert_array_equal(np.asarray(xywh_f), np.asarray(xywh))
+        want_conf = np.asarray(cls * obj[..., None])
+        np.testing.assert_array_equal(np.asarray(conf), want_conf)
+        np.testing.assert_array_equal(
+            np.asarray(best), want_conf.max(axis=-1)
+        )
+        assert conf.dtype == cls.dtype and best.dtype == cls.dtype

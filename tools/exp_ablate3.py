@@ -6,7 +6,11 @@ rules — per-launch timings lie).
 Stages: 0 trunk+decode | 1 +prefilter topk | 2 +row gathers |
         3 +pool build/rank/cert | 4 +emit (fixpoint NMS)  == full pipeline
 
-    python tools/exp_ablate3.py [B] [iters] [f32|bf16]
+    python tools/exp_ablate3.py [B] [iters] [f32|bf16] [fused] [stages...]
+
+"fused" anywhere in argv switches every stage to the conf_fused tail
+(predict(fuse_conf=True): trunk-side obj*cls + row max; no full-matrix
+pass, no obj gather — the round-3 production path).
 """
 
 import os
@@ -25,9 +29,11 @@ from edgeml_tpu.ops.nms import (
 )
 from edgeml_tpu.utils.synth import hash_uniform
 
-B = int(sys.argv[1]) if len(sys.argv) > 1 else 128
-ITERS = int(sys.argv[2]) if len(sys.argv) > 2 else 8
-DT = jnp.bfloat16 if (len(sys.argv) > 3 and sys.argv[3] == "bf16") else None
+FUSED = "fused" in sys.argv
+ARGS = [a for a in sys.argv if a != "fused"]
+B = int(ARGS[1]) if len(ARGS) > 1 else 128
+ITERS = int(ARGS[2]) if len(ARGS) > 2 else 8
+DT = jnp.bfloat16 if (len(ARGS) > 3 and ARGS[3] == "bf16") else None
 N, NC, KB, MAXD = 25200, 80, 1024, 300
 CONF, IOU = 1e-5, 0.6
 G = min(PAIR_G, KB)
@@ -43,7 +49,9 @@ stats = calibrate_bn(
 def stage_pipeline(upto):
     def fn(acc, seed):
         imgs = hash_uniform(seed, (B, 640, 640, 3))
-        obj, xywh, cls = net.predict(params, stats, imgs, dtype=DT)
+        obj, xywh, cls = net.predict(
+            params, stats, imgs, dtype=DT, fuse_conf=FUSED
+        )
         if upto == 0:
             return acc + obj.astype(jnp.float32).sum() * 1e-9 \
                 + xywh.sum() * 1e-12 + cls.astype(jnp.float32).sum() * 1e-9
@@ -51,8 +59,11 @@ def stage_pipeline(upto):
         by_key = _use_keys(cls[0], N, KB)
 
         def one(o, x, c, upto=upto, by_key=by_key):
-            best = jnp.max(c, axis=1) * o
-            box_score = jnp.where((o > CONF) & (best > CONF), best, -1.0)
+            if FUSED:
+                box_score = jnp.where(o > CONF, o, -1.0)
+            else:
+                best = jnp.max(c, axis=1) * o
+                box_score = jnp.where((o > CONF) & (best > CONF), best, -1.0)
             if by_key:
                 bt_k, box_pre = topk1d(_pack17(box_score), G + 1, chunk=N)
                 best_top = _unpack17(bt_k, box_pre)
@@ -62,14 +73,15 @@ def stage_pipeline(upto):
                 return best_top.astype(jnp.float32).sum() * 1e-9 \
                     + box_pre.sum() * 1e-12
             xywh_pre, obj_pre, cls_rows = _gather_rows(
-                box_pre[:G], x, o, c
+                box_pre[:G], x, None if FUSED else o, c
             )
             if upto == 2:
                 return (xywh_pre.sum() * 1e-12
-                        + obj_pre.astype(jnp.float32).sum() * 1e-9
+                        + (0.0 if FUSED
+                           else obj_pre.astype(jnp.float32).sum() * 1e-9)
                         + cls_rows.astype(jnp.float32).sum() * 1e-9)
             ts, row, col, xp, ok = _select_pairs_fast(
-                o, x, c, CONF, G, min(PAIR_T, NC), K, by_key
+                o, x, c, CONF, G, min(PAIR_T, NC), K, by_key, fused=FUSED
             )
             if upto == 3:
                 return ts.astype(jnp.float32).sum() * 1e-9 \
@@ -124,7 +136,7 @@ def stage_pipeline(upto):
 
             def sel(o, x, c, by_key=by_key):
                 ts, row, col, xp, ok = _select_pairs_fast(
-                    o, x, c, CONF, G, min(PAIR_T, NC), K, by_key
+                    o, x, c, CONF, G, min(PAIR_T, NC), K, by_key, fused=FUSED
                 )
                 bx = xp[row]
                 half = bx[:, 2:4] * 0.5
@@ -159,7 +171,7 @@ def stage_pipeline(upto):
 
 
 prev = 0.0
-for st in ([int(a) for a in sys.argv[4:]] or range(5)):
+for st in ([int(a) for a in ARGS[4:]] or range(5)):
     step = jax.jit(stage_pipeline(st))
     t0 = time.perf_counter()
     # float() fetch, NOT block_until_ready: on the axon backend block is a
