@@ -8,6 +8,14 @@ image-membership matrix M[n, (c,k)] = (pool.img[c,k] == n): every output is
 exactly 0/1 (one 1 per column), so bf16 DEFAULT-precision accumulation is
 exact. M streams at HBM/MXU rate instead of the gather's per-element rate.
 
+A second candidate bound is the pair of per-draw cumsums in _ap_from_sel
+(tpc over (C, T, K), npred over (C, K)): XLA lowers lane-axis cumsum as a
+log2(K)-pass shifted-add scan on the VPU. The matmul form computes both as
+(rows, K) @ U against the constant 0/1 upper-triangular (K, K): operands are
+0/1 (bf16-exact), partial sums are integers < 2^24 accumulated in f32, so ANY
+summation order gives the identical integer — bit-exact vs cumsum, but on
+the MXU.
+
 Stages (cumulative, one jit each, chained acc, final float() fetch):
   0  ensemble sampling only (uniforms + e-th-smallest top_k)
   1  + lmask + label-histogram matmul (nt)
@@ -15,8 +23,10 @@ Stages (cumulative, one jit each, chained acc, final float() fetch):
   2m + lm_rows via the one-hot matmul instead
   3  full production _orie_batch
   3m full pair eval with the matmul lm_rows patched in
+  3c full pair eval, gather lm_rows + MATMUL cumsums
+  3x full pair eval, matmul lm_rows + matmul cumsums
 
-    python tools/exp_orie2.py [batch] [iters] [stages: 0 1 2 2m 3 3m]
+    python tools/exp_orie2.py [batch] [iters] [stages: 0 1 2 2m 3 3m 3c 3x]
 """
 
 import os
@@ -63,21 +73,52 @@ def lm_rows_matmul(lmask_f, pool):
     return (v > 0.5).reshape(pool.img.shape)
 
 
-def orie_pair_patched(pool, in_ens, target):
-    """orie_map_pair with the gather swapped for the matmul (same math)."""
+def _ap_from_sel_mm(pool, sel, nt):
+    """mk._ap_from_sel with both cumsums as triangular MXU matmuls.
+
+    tpc[c,t,k] = sum_{k'<=k} inc[c,t,k'] == (inc @ U)[c,t,k] with
+    U[k',k] = [k' <= k]; operands 0/1 in bf16 (exact), f32 accumulation,
+    integer partial sums — bit-identical to jnp.cumsum."""
+    dtype = jnp.float32
+    m = (sel & pool.valid).astype(jnp.bfloat16)  # (C, K)
+    tp_t = jnp.moveaxis(pool.tp, 2, 1)  # (C, T, K)
+    c, t, k = tp_t.shape
+    tri = (
+        jax.lax.iota(jnp.int32, k)[:, None] <= jax.lax.iota(jnp.int32, k)[None, :]
+    ).astype(jnp.bfloat16)
+    inc = tp_t.astype(jnp.bfloat16) * m[:, None, :]  # (C, T, K) 0/1
+    tpc = jax.lax.dot_general(
+        inc.reshape(c * t, k), tri, (((1,), (0,)), ((), ())),
+        preferred_element_type=dtype,
+    ).reshape(c, t, k)
+    npred = jax.lax.dot_general(
+        m, tri, (((1,), (0,)), ((), ())), preferred_element_type=dtype
+    )  # (C, K)
+    fpc = npred[:, None, :] - tpc
+    per_t = jax.vmap(mk.ap_interp101, in_axes=(0, 0, None))
+    return jax.vmap(per_t)(tpc, fpc, nt)  # (C, T)
+
+
+def orie_pair_patched(pool, in_ens, target, mm_rows=True, mm_cumsum=False):
+    """orie_map_pair with the gather and/or cumsums swapped for matmuls
+    (same math)."""
     dtype = jnp.float32
     lmask = in_ens | (jnp.arange(pool.num_images) == target)
     nt = jnp.matmul(lmask.astype(dtype), pool.hist,
                     preferred_element_type=dtype)
-    lm_rows = lm_rows_matmul(lmask.astype(dtype), pool)
+    if mm_rows:
+        lm_rows = lm_rows_matmul(lmask.astype(dtype), pool)
+    else:
+        lm_rows = lmask[pool.img]
     is_t = pool.img == target
     sel_weak = lm_rows & ~pool.strong
     sel_strong = jnp.where(pool.strong, is_t, lm_rows & ~is_t)
     has = (nt > 0).astype(dtype)
     denom = jnp.sum(has) * pool.tp.shape[2]
+    ap_fn = _ap_from_sel_mm if mm_cumsum else mk._ap_from_sel
 
     def mean_ap(sel):
-        ap = mk._ap_from_sel(pool, sel, nt)
+        ap = ap_fn(pool, sel, nt)
         return jnp.sum(ap * has[:, None]) / denom
 
     return mean_ap(sel_weak), mean_ap(sel_strong)
@@ -109,8 +150,12 @@ def stage(which):
             if which == "2m":
                 lm_rows = lm_rows_matmul(lmask.astype(jnp.float32), pool)
                 return lm_rows.sum() * 1e-9 + nt.sum() * 1e-9
-            if which == "3m":
-                w, s = orie_pair_patched(pool, in_ens, i)
+            if which in ("3m", "3c", "3x"):
+                w, s = orie_pair_patched(
+                    pool, in_ens, i,
+                    mm_rows=which in ("3m", "3x"),
+                    mm_cumsum=which in ("3c", "3x"),
+                )
                 r = (s - w) * (E + 1)
                 return jnp.where(jnp.isnan(r), 0.0, r) * 1e-3
             w, s = mk.orie_map_pair(pool, in_ens, i)
@@ -123,7 +168,7 @@ def stage(which):
     return fn
 
 
-for which in (sys.argv[3:] or ["0", "1", "2", "2m", "3", "3m"]):
+for which in (sys.argv[3:] or ["0", "1", "2", "2m", "3", "3m", "3c", "3x"]):
     if which == "3":
         # the production kernel itself (includes NaN->0 + reward scale)
         def fn(acc, seed, _w=which):
@@ -153,6 +198,19 @@ key = jax.random.PRNGKey(123)
 u = jax.random.uniform(key, (N,))
 kth = -jax.lax.top_k(-u, E)[0][E - 1]
 lmask = (u <= kth) | (jnp.arange(N) == 17)
+in_ens = (u <= kth) & (jnp.arange(N) != 17)
 a = lmask[pool.img]
 b = lm_rows_matmul(lmask.astype(jnp.float32), pool)
 print("lm_rows matmul exact:", bool(jnp.all(a == b)), flush=True)
+
+# exactness spot check: matmul-cumsum pair eval == production pair eval
+ref = mk.orie_map_pair(pool, in_ens, jnp.asarray(17))
+for name, kw in (
+    ("3c", dict(mm_rows=False, mm_cumsum=True)),
+    ("3x", dict(mm_rows=True, mm_cumsum=True)),
+):
+    got = orie_pair_patched(pool, in_ens, jnp.asarray(17), **kw)
+    same = bool(
+        jnp.all(jnp.asarray(got) == jnp.asarray(ref))
+    )
+    print(f"pair eval {name} bit-exact vs production:", same, flush=True)
