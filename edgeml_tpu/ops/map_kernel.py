@@ -287,6 +287,37 @@ def _ap_matrix(pool, weak_sel, strong_sel, label_sel):
     return _ap_from_sel(pool, sel, nt), (nt > 0).astype(dtype)
 
 
+MM_CUMSUM = False
+"""Route _ap_from_sel's per-draw cumsums through triangular MXU matmuls
+instead of the VPU lane scan. Bit-exact (operands are 0/1 — exact in the
+MXU's bf16 operand rounding — and every partial sum is an integer < 2^24
+accumulated in f32, so summation order cannot matter). Off by default
+pending TPU measurement (tools/exp_orie2.py stages 3c/3x). Read at trace
+time: flip + clear_cache of jitted callers (reward.orie._orie_batch,
+map_from_masks)."""
+
+MM_LM_ROWS = False
+"""Route orie_map_pair's per-draw (C, K) mask gather through a one-hot
+matmul against the constant image-membership matrix. Exact for the same
+0/1-operand reason. Off by default pending TPU measurement
+(tools/exp_orie2.py stages 2m/3m). Same trace-time caveat as MM_CUMSUM."""
+
+
+def _cumsum01_lastaxis(x: jax.Array) -> jax.Array:
+    """Inclusive cumsum along the last axis of a 0/1-valued f32 array as one
+    (rows, K) @ (K, K) upper-triangular matmul — exact integer counts (see
+    MM_CUMSUM), MXU instead of the log2(K)-pass VPU shifted-add scan."""
+    k = x.shape[-1]
+    tri = (
+        jax.lax.iota(jnp.int32, k)[:, None] <= jax.lax.iota(jnp.int32, k)[None, :]
+    ).astype(jnp.bfloat16)
+    flat = x.reshape(-1, k).astype(jnp.bfloat16)
+    out = jax.lax.dot_general(
+        flat, tri, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    return out.reshape(x.shape)
+
+
 def _ap_from_sel(pool, sel, nt):
     """AP (C, T) from an already-gathered per-detection inclusion mask.
 
@@ -299,6 +330,14 @@ def _ap_from_sel(pool, sel, nt):
     dtype = jnp.float32
     m = (sel & pool.valid).astype(dtype)  # (C, K)
     tp_t = jnp.moveaxis(pool.tp, 2, 1)  # (C, T, K)
+
+    if MM_CUMSUM:
+        inc = tp_t.astype(dtype) * m[:, None, :]  # (C, T, K) 0/1
+        tpc = _cumsum01_lastaxis(inc)
+        npred = _cumsum01_lastaxis(m)  # (C, K)
+        fpc = npred[:, None, :] - tpc
+        per_t = jax.vmap(ap_interp101, in_axes=(0, 0, None))
+        return jax.vmap(per_t)(tpc, fpc, nt)  # (C, T)
 
     def per_class(tp_tk, m_c, nt_c):
         # tp_tk: (T, K); m_c: (K,); nt_c: scalar
@@ -333,7 +372,23 @@ def orie_map_pair(pool: DetectionPool, in_ens: jax.Array, target: jax.Array):
     dtype = jnp.float32
     lmask = in_ens | (jnp.arange(pool.num_images) == target)
     nt = jnp.matmul(lmask.astype(dtype), pool.hist, preferred_element_type=dtype)
-    lm_rows = lmask[pool.img]  # (C, K) — the single gather
+    if MM_LM_ROWS:
+        # One-hot matmul instead of the gather: vmapped callers batch the
+        # (1, N) @ (N, C*K) dots into one (B, N) @ (N, C*K) — the constant
+        # membership matrix streams at MXU rate once per draw BATCH, where
+        # the gather pays its per-element cost per draw. Outputs are exactly
+        # 0/1 (one 1 per column of the membership matrix).
+        img_flat = pool.img.reshape(-1)  # (C*K,) constant
+        onehot = (
+            img_flat[None, :] == jnp.arange(pool.num_images)[:, None]
+        ).astype(jnp.bfloat16)
+        v = jax.lax.dot_general(
+            lmask.astype(jnp.bfloat16)[None, :], onehot,
+            (((1,), (0,)), ((), ())), preferred_element_type=dtype,
+        )[0]
+        lm_rows = (v > 0.5).reshape(pool.img.shape)
+    else:
+        lm_rows = lmask[pool.img]  # (C, K) — the single gather
     is_t = pool.img == target  # (C, K) compare vs a constant array
     # weak eval: weak_sel = lmask, strong_sel = 0
     sel_weak = lm_rows & ~pool.strong

@@ -85,6 +85,40 @@ def test_multi_threshold_axis():
     _compare(weak, strong, labels, ones, zeros, ones)
 
 
+def test_mm_variants_bit_exact():
+    """The MXU-matmul knobs (MM_CUMSUM cumsums, MM_LM_ROWS mask gather) are
+    BIT-exact vs the default paths: operands are 0/1 and every partial sum an
+    integer, so bf16 operand rounding and summation order cannot bite."""
+    from edgeml_tpu.ops import map_kernel as mk
+    from edgeml_tpu.reward.orie import _orie_batch
+
+    rng = np.random.default_rng(21)
+    weak, strong, labels = make_random_dataset(rng, n_img=24)
+    pool = build_pool(weak, strong, labels)
+    n = len(labels)
+    idx = jnp.arange(12, dtype=jnp.int32)
+    key = jax.random.PRNGKey(5)
+
+    def run():
+        _orie_batch.clear_cache()  # flags are read at trace time
+        rewards = _orie_batch(pool, idx, key, 8)
+        in_ens = jnp.asarray(rng_fixed < 0.4) & (jnp.arange(n) != 3)
+        pair = mk.orie_map_pair(pool, in_ens, jnp.asarray(3))
+        return np.asarray(rewards), np.asarray(pair)
+
+    rng_fixed = np.random.default_rng(77).random(n)
+    base_r, base_p = run()
+    try:
+        for rows, cs in ((True, False), (False, True), (True, True)):
+            mk.MM_LM_ROWS, mk.MM_CUMSUM = rows, cs
+            got_r, got_p = run()
+            np.testing.assert_array_equal(got_r, base_r)
+            np.testing.assert_array_equal(got_p, base_p)
+    finally:
+        mk.MM_LM_ROWS = mk.MM_CUMSUM = False
+        _orie_batch.clear_cache()
+
+
 def test_vmap_over_masks():
     rng = np.random.default_rng(13)
     weak, strong, labels = make_random_dataset(rng, n_img=10)
