@@ -137,8 +137,35 @@ def make_train_step(net: YoloV5, cfg: TrainConfig, dtype=None):
     return opt, step
 
 
+def make_ema_update(decay: float = 0.9999, tau: float = 2000.0):
+    """Model EMA with the ultralytics warmup ramp — the missing half of the
+    reference's prescribed YOLO training recipe (yolov5_scripts.md:9 trains
+    through ultralytics train.py, whose ModelEMA shadows every floating
+    state-dict entry, BN running stats included):
+
+        d(n) = decay * (1 - exp(-n / tau));   ema <- d*ema + (1-d)*value
+
+    Returns a jitted (ema_tree, value_tree, n_updates) -> ema_tree; apply it
+    to {"params": ..., "stats": ...} so BN statistics are shadowed like
+    ultralytics does. n_updates is the 1-based optimizer-update count (a host
+    scalar, like lr) so resuming a run keeps the ramp position."""
+
+    @jax.jit
+    def update(ema, value, n_updates):
+        d = decay * (1.0 - jnp.exp(-n_updates / tau))
+
+        def one(e, v):
+            if not jnp.issubdtype(jnp.asarray(e).dtype, jnp.floating):
+                return v  # integer state (e.g. step counters) tracks the live value
+            return e + (1.0 - d) * (v.astype(e.dtype) - e)
+
+        return jax.tree_util.tree_map(one, ema, value)
+
+    return update
+
+
 def save_checkpoint(path: str, params, stats, opt_state, cfg, epoch: int,
-                    backend: str = "pickle"):
+                    backend: str = "pickle", ema=None):
     """Checkpoint dict parity with train.py:126-136 ({model, optimizer,
     lr_scheduler, args, epoch}); written only by the primary process.
 
@@ -146,6 +173,9 @@ def save_checkpoint(path: str, params, stats, opt_state, cfg, epoch: int,
     (directory format, async-capable, multi-host safe) — the TPU-native
     upgrade path; "pickle" (default) keeps the reference's single-file
     protocol.
+
+    ema: optional {"params", "stats", "n_updates"} EMA shadow (--ema); stored
+    under an extra "ema" key so reference-shaped consumers are unaffected.
     """
     if not is_primary():
         return
@@ -160,6 +190,8 @@ def save_checkpoint(path: str, params, stats, opt_state, cfg, epoch: int,
         "args": dataclasses.asdict(cfg),
         "epoch": epoch,
     }
+    if ema is not None:
+        payload["ema"] = jax.tree_util.tree_map(np.asarray, ema)
     if backend == "orbax":
         import orbax.checkpoint as ocp
 

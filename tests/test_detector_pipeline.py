@@ -270,3 +270,98 @@ def test_detect_cli_torchvision_family(dataset):
             assert (arr[:, 0] >= 0).all() and (arr[:, 0] <= 79).all()
             assert (arr[:, 1:5] >= 0).all() and (arr[:, 1:5] <= 1).all()
     assert got_rows > 0  # random weights at conf 1e-3 must emit something
+
+
+def test_ema_update_math():
+    """make_ema_update implements the ultralytics ramp
+    d(n) = decay*(1-exp(-n/tau)) with ema <- ema + (1-d)(value-ema)."""
+    import jax.numpy as jnp
+
+    from edgeml_tpu.models.train import make_ema_update
+
+    upd = make_ema_update(decay=0.9, tau=10.0)
+    ema = {"params": {"w": jnp.ones((3,))}}
+    e_np = np.ones(3)
+    v_np = 2.0 * np.ones(3)
+    for n in (1, 2, 3):
+        ema = upd(ema, {"params": {"w": jnp.asarray(v_np)}}, float(n))
+        d = 0.9 * (1.0 - np.exp(-n / 10.0))
+        e_np = e_np + (1.0 - d) * (v_np - e_np)
+        np.testing.assert_allclose(
+            np.asarray(ema["params"]["w"]), e_np, rtol=1e-6
+        )
+
+
+def test_train_ema_and_native_checkpoint_serving(dataset):
+    """--ema checkpoints an EMA shadow; detect.py serves a NATIVE training
+    checkpoint directly (EMA weights preferred), closing the train->serve
+    loop without a torch state_dict round trip."""
+    import pickle
+
+    import jax
+
+    tmp, img_dir, lab_dir = dataset
+    import detect as detect_cli
+    import train as train_cli
+
+    ns = types.SimpleNamespace(
+        img_dir=img_dir,
+        save_dir=str(tmp / "ckpt_ema"),
+        label_dir=lab_dir,
+        model="yolov5n",
+        dataset="voc",
+        batch_size=4,
+        epochs=1,
+        opt="sgd",
+        lr=0.01,
+        momentum=0.9,
+        weight_decay=1e-4,
+        lr_scheduler="multisteplr",
+        lr_steps=[16, 22],
+        lr_gamma=0.1,
+        resume="",
+        start_epoch=0,
+        img_size=64,
+        max_targets=8,
+        print_freq=1,
+        seed=0,
+        ema=True,
+    )
+    train_cli.main(ns)
+    ckpt = tmp / "ckpt_ema" / "checkpoint.pth"
+    with open(ckpt, "rb") as f:
+        payload = pickle.load(f)
+    assert "ema" in payload
+    assert int(payload["ema"]["n_updates"]) == 2  # 8 imgs / bs 4, 1 epoch
+    # the shadow must differ from the live weights (decay-weighted history)
+    w_live = payload["model"]["params"]
+    w_ema = payload["ema"]["params"]
+    leaves_l = jax.tree_util.tree_leaves(w_live)
+    leaves_e = jax.tree_util.tree_leaves(w_ema)
+    assert any(
+        not np.array_equal(a, b) for a, b in zip(leaves_l, leaves_e)
+    )
+
+    # resume keeps the ramp position going
+    ns.resume = str(ckpt)
+    ns.epochs = 2
+    train_cli.main(ns)
+    with open(ckpt, "rb") as f:
+        payload2 = pickle.load(f)
+    assert int(payload2["ema"]["n_updates"]) == 4
+
+    # serve straight from the native checkpoint (EMA path)
+    dns = types.SimpleNamespace(
+        img_dir=img_dir,
+        save_dir=str(tmp / "dets_native"),
+        dataset="voc",
+        model="yolov5n",
+        model_path=str(ckpt),
+        batch_size=4,
+        conf_thres=0.001,
+        iou_thres=0.6,
+        format="npy",
+    )
+    detect_cli.main(dns)
+    files = sorted(os.listdir(tmp / "dets_native"))
+    assert files == [f"im{i}.npy" for i in range(8)]

@@ -24,21 +24,71 @@ import numpy as np
 from coco_labelmap import coco_to_yolov5
 
 
+def _native_payload(path: str):
+    """Sniff a NATIVE training checkpoint (tpu_models/train.py's pickle
+    payload {model: {params, stats}, optimizer, ..., [ema]}; the reference's
+    protocol shape, torch_models/train.py:126-136, with jax pytrees inside).
+    Returns the payload dict, or None for torch zips / state-dict files."""
+    if not path or not os.path.isfile(path):
+        # orbax directory checkpoints route through models.train.load_checkpoint
+        if path and os.path.isdir(path):
+            from edgeml_tpu.models.train import load_checkpoint
+
+            _, _, _, payload = load_checkpoint(path)
+            return payload
+        return None
+    import pickle
+
+    try:
+        with open(path, "rb") as f:
+            obj = pickle.load(f)
+    except Exception:
+        return None  # torch zip archive or other format
+    if (
+        isinstance(obj, dict)
+        and isinstance(obj.get("model"), dict)
+        and "params" in obj["model"]
+    ):
+        return obj
+    return None
+
+
+def _native_weights(payload):
+    """(params, stats) from a native payload — the EMA shadow when present
+    (the ultralytics convention: the shipped model IS the EMA), else the
+    live weights."""
+    import jax
+    import jax.numpy as jnp
+
+    src = payload.get("ema") or payload["model"]
+    which = "EMA" if "ema" in payload else "live"
+    print(f"loading native checkpoint ({which} weights, epoch "
+          f"{payload.get('epoch', '?')})")
+    as_dev = lambda t: jax.tree_util.tree_map(jnp.asarray, t)
+    stats = src.get("stats")
+    return as_dev(src["params"]), None if stats is None else as_dev(stats)
+
+
 def load_detector(model_name: str, model_path: str, num_class: int):
     """Build a detector and load weights.
 
-    For YOLOv5 variants: model_path may be a pickled ultralytics state_dict
-    (.pt via torch, CPU) or an .npz of the same keys; empty model_path uses
-    random initialization (useful only for smoke tests).
+    model_path may be: a pickled ultralytics/torchvision state_dict (.pt via
+    torch, CPU), an .npz of the same keys, or a NATIVE tpu_models/train.py
+    checkpoint (pickle file or orbax directory — EMA weights preferred when
+    the run used --ema); empty model_path uses random initialization
+    (useful only for smoke tests).
     """
     import jax
 
+    native = _native_payload(model_path) if model_path else None
     sd = None  # checkpoint state_dict, loaded at most once (tail sniff + import)
     if model_name.startswith("yolov5"):
         from edgeml_tpu.models.yolov5 import YoloV5
 
         net = YoloV5(variant=model_name[-1], num_classes=num_class)
-        if model_path:
+        if native is not None:
+            params, stats = _native_weights(native)
+        elif model_path:
             sd = load_state_dict(model_path)
             params, stats = net.params_from_torch_state_dict(sd)
         else:
@@ -56,7 +106,7 @@ def load_detector(model_name: str, model_path: str, num_class: int):
         # between weights='DEFAULT' and a custom checkpoint the same way),
         # then fall through to the shared load path below.
         reduced = False
-        if model_path:
+        if model_path and native is None:
             sd = sd if sd is not None else load_state_dict(model_path)
             reduced = any(
                 tuple(getattr(v, "shape", ())) == (480, 80, 1, 1)
@@ -76,7 +126,9 @@ def load_detector(model_name: str, model_path: str, num_class: int):
             f"Model '{model_name}' is not available. "
             "Choose from yolov5n/s/m/l/x, ssd, faster_rcnn, retinanet."
         )
-    if model_path:
+    if native is not None:
+        params, stats = _native_weights(native)
+    elif model_path:
         sd = sd if sd is not None else load_state_dict(model_path)
         params = net.params_from_torch_state_dict(sd)
         if isinstance(params, tuple):

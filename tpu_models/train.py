@@ -53,7 +53,8 @@ def main(opts):
 
     from edgeml_tpu.models.engine import make_detector, make_family_train_step
     from edgeml_tpu.models.train import (
-        TrainConfig, load_checkpoint, lr_at, pad_targets, save_checkpoint,
+        TrainConfig, load_checkpoint, lr_at, make_ema_update, pad_targets,
+        save_checkpoint,
     )
     from edgeml_tpu.models.common import letterbox_batch
     from edgeml_tpu.data import load_data, list_image_names
@@ -79,9 +80,25 @@ def main(opts):
     )
     opt_state = opt.init(params)
 
+    # Model EMA (the ultralytics-recipe half the reference's YOLO training
+    # relies on, yolov5_scripts.md:9): a decay-ramped shadow of params AND
+    # BN statistics, carried per optimizer update and checkpointed under the
+    # extra "ema" key. Serving (tpu_models/detect.py) prefers the EMA shadow
+    # when a checkpoint carries one — the ultralytics convention.
+    use_ema = bool(getattr(opts, "ema", False))
+    ema_update = make_ema_update() if use_ema else None
+    ema_tree, ema_n = None, 0
+
     if opts.resume:
         params, stats, opt_state, payload = load_checkpoint(opts.resume)
         opts.start_epoch = payload["epoch"] + 1
+        if use_ema and "ema" in payload:
+            ema_n = int(payload["ema"]["n_updates"])
+            ema_tree = jax.tree_util.tree_map(
+                jnp.asarray,
+                {k: payload["ema"][k] for k in ("params", "stats")
+                 if payload["ema"].get(k) is not None},
+            )
 
     # Data: labels load up front (small — a few floats per object); images
     # stream from disk per batch with background-thread prefetch, so a
@@ -223,6 +240,12 @@ def main(opts):
         params = replicate(params, mesh)
         if stats is not None:
             stats = replicate(stats, mesh)
+        if ema_tree is not None:
+            ema_tree = replicate(ema_tree, mesh)
+    if use_ema and ema_tree is None:
+        ema_tree = {"params": params}
+        if stats is not None:
+            ema_tree["stats"] = stats
 
     steps_per_epoch = max(n // bs, 1)
     rng = np.random.default_rng(opts.seed)
@@ -252,6 +275,12 @@ def main(opts):
             params, stats, opt_state, loss, parts = step(
                 params, stats, opt_state, imgs, targets, valid, lr, sub
             )
+            if use_ema:
+                ema_n += 1
+                live = {"params": params}
+                if stats is not None:
+                    live["stats"] = stats
+                ema_tree = ema_update(ema_tree, live, float(ema_n))
             loss_v = float(loss)
             if not np.isfinite(loss_v):
                 raise FloatingPointError(f"Loss is {loss_v}, stopping training")
@@ -264,14 +293,17 @@ def main(opts):
             it += 1
         if opts.save_dir:
             os.makedirs(opts.save_dir, exist_ok=True)
+            ema_payload = None
+            if use_ema:
+                ema_payload = dict(ema_tree, n_updates=np.asarray(ema_n))
             if epoch % 10 == 0:
                 save_checkpoint(
                     os.path.join(opts.save_dir, f"model_{epoch}.pth"),
-                    params, stats, opt_state, cfg, epoch,
+                    params, stats, opt_state, cfg, epoch, ema=ema_payload,
                 )
             save_checkpoint(
                 os.path.join(opts.save_dir, "checkpoint.pth"),
-                params, stats, opt_state, cfg, epoch,
+                params, stats, opt_state, cfg, epoch, ema=ema_payload,
             )
         print(f"Epoch {epoch} finished")
 
@@ -323,6 +355,12 @@ def getargs():
                            "accelerator (default; elementwise, fuses into the step), "
                            "on the loader host (reference placement), or disabled")
     args.add_argument("--seed", default=0, type=int, help="init/shuffle seed")
+    args.add_argument("--ema", action="store_true",
+                      help="keep a decay-ramped EMA shadow of the model "
+                           "(params + BN stats), the ultralytics-recipe "
+                           "component of the reference's YOLO training "
+                           "(yolov5_scripts.md); checkpointed under 'ema', "
+                           "preferred by detect.py when present")
     args.add_argument("--bf16", action="store_true",
                       help="bfloat16 mixed-precision training (f32 master "
                            "weights/optimizer/BN stats; the reference "
