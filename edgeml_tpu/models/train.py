@@ -32,7 +32,14 @@ from .yolov5 import YoloV5
 
 @dataclasses.dataclass
 class TrainConfig:
-    """Optimization settings (names/defaults mirror torch_models/train.py:143-164)."""
+    """Optimization settings (names/defaults mirror torch_models/train.py:143-164).
+
+    The last four fields extend the reference surface with the ultralytics
+    YOLO recipe's optimizer shape (yolov5_scripts.md trains through
+    ultralytics train.py): nesterov momentum, a cosine floor (one_cycle's
+    lrf), epoch-based warmup, and weight decay restricted to kernel weights
+    (BN gains and biases excluded). Defaults keep exact reference behavior.
+    """
 
     opt: str = "sgd"
     lr: float = 0.02
@@ -44,32 +51,72 @@ class TrainConfig:
     epochs: int = 30
     warmup_iters: int = 1000  # engine.py:18-25: min(1000, len(loader) - 1)
     warmup_factor: float = 1.0 / 1000
+    nesterov: bool = False
+    lrf: float = 0.0  # cosine final LR as a fraction of lr (ultralytics lrf)
+    warmup_epochs: float = 0.0  # >0: linear warmup over this many epochs
+    decay_mask: str = "all"  # "weights": decay only ndim>=2 kernels
+
+
+def yolo_recipe_config(epochs: int = 300) -> TrainConfig:
+    """The ultralytics hyp.scratch-low optimizer recipe (the settings behind
+    the reference's prescribed YOLO training, yolov5_scripts.md:9): nesterov
+    SGD(0.937), lr 0.01 one_cycle-cosine to lrf=0.01, 3-epoch warmup, weight
+    decay 5e-4 on kernel weights only. Divergence (documented): ultralytics
+    ramps bias LR from 0.1 and momentum from 0.8 during warmup per param
+    group; this config uses one global 0 -> lr ramp."""
+    return TrainConfig(
+        opt="sgd", lr=0.01, momentum=0.937, weight_decay=5e-4,
+        lr_scheduler="cosineannealinglr", epochs=epochs, nesterov=True,
+        lrf=0.01, warmup_epochs=3.0, decay_mask="weights",
+    )
 
 
 def lr_at(cfg: TrainConfig, epoch: int, it: int, steps_per_epoch: int) -> float:
-    """LR schedule: linear warmup during epoch 0, then MultiStep or cosine."""
+    """LR schedule: linear warmup (epoch-0 iter-based by default; over
+    warmup_epochs when set), then MultiStep or cosine (one_cycle floor at
+    lr * lrf — lrf=0 reduces to the reference's plain cosine)."""
     if cfg.lr_scheduler == "multisteplr":
         lr = cfg.lr * cfg.lr_gamma ** sum(epoch >= m for m in cfg.lr_steps)
-    else:  # cosineannealinglr
-        lr = cfg.lr * 0.5 * (1 + np.cos(np.pi * epoch / cfg.epochs))
-    if epoch == 0:
+    else:  # cosineannealinglr / one_cycle with floor
+        lr = cfg.lr * (
+            (1 - np.cos(np.pi * epoch / cfg.epochs)) / 2 * (cfg.lrf - 1) + 1
+        )
+    if cfg.warmup_epochs > 0:
+        w = max(cfg.warmup_epochs * steps_per_epoch, 1)
+        g = epoch * steps_per_epoch + it
+        if g < w:
+            lr = lr * (g / w)
+    elif epoch == 0:
         w = min(cfg.warmup_iters, max(steps_per_epoch - 1, 1))
         a = min(it / max(w, 1), 1.0)
         lr = lr * (cfg.warmup_factor * (1 - a) + a)
     return float(lr)
 
 
+def _decay_mask_fn(cfg: TrainConfig):
+    if cfg.decay_mask == "all":
+        return None
+    if cfg.decay_mask == "weights":
+        # ultralytics param grouping: decay conv/linear kernels only; BN
+        # gains ('g') and every bias ('b') are ndim-1 and stay undecayed.
+        return lambda params: jax.tree_util.tree_map(
+            lambda a: jnp.asarray(a).ndim >= 2, params
+        )
+    raise RuntimeError(f"Invalid decay_mask {cfg.decay_mask!r}.")
+
+
 def make_optimizer(cfg: TrainConfig):
+    mask = _decay_mask_fn(cfg)
     if cfg.opt == "sgd":
         return optax.chain(
-            optax.add_decayed_weights(cfg.weight_decay),
-            optax.trace(decay=cfg.momentum),
+            optax.add_decayed_weights(cfg.weight_decay, mask=mask),
+            optax.trace(decay=cfg.momentum, nesterov=cfg.nesterov),
             optax.scale(-1.0),
         )
     if cfg.opt == "adamw":
         return optax.chain(
             optax.scale_by_adam(),
-            optax.add_decayed_weights(cfg.weight_decay),
+            optax.add_decayed_weights(cfg.weight_decay, mask=mask),
             optax.scale(-1.0),
         )
     raise RuntimeError(f"Invalid optimizer {cfg.opt}. Only SGD and AdamW are supported.")

@@ -365,3 +365,81 @@ def test_train_ema_and_native_checkpoint_serving(dataset):
     detect_cli.main(dns)
     files = sorted(os.listdir(tmp / "dets_native"))
     assert files == [f"im{i}.npy" for i in range(8)]
+
+
+def test_yolo_recipe_schedule_and_decay_mask():
+    """yolo_recipe_config: one_cycle cosine floor at lr*lrf, epoch-based
+    warmup ramp, and weight decay masked off BN gains / biases."""
+    import jax
+    import jax.numpy as jnp
+
+    from edgeml_tpu.models.train import (
+        lr_at, make_optimizer, yolo_recipe_config,
+    )
+
+    cfg = yolo_recipe_config(epochs=10)
+    spe = 100
+    # end of schedule sits at the lrf floor, start (post-warmup) near lr
+    assert lr_at(cfg, 10, 0, spe) == pytest.approx(cfg.lr * cfg.lrf, rel=1e-6)
+    # warmup: linear in global iteration over warmup_epochs * spe
+    g_half = int(cfg.warmup_epochs * spe) // 2
+    e, i = divmod(g_half, spe)
+    cos_e = cfg.lr * ((1 - np.cos(np.pi * e / cfg.epochs)) / 2 * (cfg.lrf - 1) + 1)
+    assert lr_at(cfg, e, i, spe) == pytest.approx(cos_e * 0.5, rel=1e-6)
+    # past warmup, no damping
+    assert lr_at(cfg, 4, 0, spe) == pytest.approx(
+        cfg.lr * ((1 - np.cos(np.pi * 4 / cfg.epochs)) / 2 * (cfg.lrf - 1) + 1),
+        rel=1e-6,
+    )
+
+    # decay mask: zero gradients -> update is -wd*w on kernels, 0 on g/b
+    params = {
+        "w": jnp.ones((3, 3, 4, 4)),
+        "g": jnp.ones((4,)),
+        "b": jnp.ones((4,)),
+    }
+    opt = make_optimizer(cfg)
+    state = opt.init(params)
+    zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+    upd, _ = opt.update(zeros, state, params)
+    # first nesterov step applies g + momentum*trace = wd*w*(1 + momentum)
+    np.testing.assert_allclose(
+        np.asarray(upd["w"]),
+        -cfg.weight_decay * (1 + cfg.momentum) * np.ones((3, 3, 4, 4)),
+        rtol=1e-6,
+    )
+    assert float(jnp.abs(upd["g"]).max()) == 0.0
+    assert float(jnp.abs(upd["b"]).max()) == 0.0
+
+
+def test_train_cli_yolo_preset(dataset):
+    """--preset yolo trains end-to-end (ultralytics optimizer recipe)."""
+    tmp, img_dir, lab_dir = dataset
+    import train as train_cli
+
+    ns = types.SimpleNamespace(
+        img_dir=img_dir,
+        save_dir=str(tmp / "ckpt_preset"),
+        label_dir=lab_dir,
+        model="yolov5n",
+        dataset="voc",
+        batch_size=4,
+        epochs=1,
+        opt="sgd",
+        lr=0.01,
+        momentum=0.9,
+        weight_decay=1e-4,
+        lr_scheduler="multisteplr",
+        lr_steps=[16, 22],
+        lr_gamma=0.1,
+        resume="",
+        start_epoch=0,
+        img_size=64,
+        max_targets=8,
+        print_freq=1,
+        seed=0,
+        preset="yolo",
+        ema=True,
+    )
+    train_cli.main(ns)
+    assert (tmp / "ckpt_preset" / "checkpoint.pth").exists()

@@ -54,23 +54,30 @@ def main(opts):
     from edgeml_tpu.models.engine import make_detector, make_family_train_step
     from edgeml_tpu.models.train import (
         TrainConfig, load_checkpoint, lr_at, make_ema_update, pad_targets,
-        save_checkpoint,
+        save_checkpoint, yolo_recipe_config,
     )
     from edgeml_tpu.models.common import letterbox_batch
     from edgeml_tpu.data import load_data, list_image_names
     from edgeml_tpu.data.loader import iter_batches, list_images, resize_bilinear
     from edgeml_tpu.parallel import make_mesh, shard_along, replicate, MetricLogger
 
-    cfg = TrainConfig(
-        opt=opts.opt,
-        lr=opts.lr,
-        momentum=opts.momentum,
-        weight_decay=opts.weight_decay,
-        lr_scheduler=opts.lr_scheduler,
-        lr_steps=tuple(opts.lr_steps),
-        lr_gamma=opts.lr_gamma,
-        epochs=opts.epochs,
-    )
+    if getattr(opts, "preset", "") == "yolo":
+        # the ultralytics optimizer recipe wholesale (nesterov SGD 0.937,
+        # one_cycle cosine to lrf=0.01, 3-epoch warmup, masked decay 5e-4);
+        # only --epochs is taken from the CLI. Pair with --augment yolo --ema.
+        cfg = yolo_recipe_config(epochs=opts.epochs)
+        print(f"--preset yolo: using the ultralytics optimizer recipe {cfg}")
+    else:
+        cfg = TrainConfig(
+            opt=opts.opt,
+            lr=opts.lr,
+            momentum=opts.momentum,
+            weight_decay=opts.weight_decay,
+            lr_scheduler=opts.lr_scheduler,
+            lr_steps=tuple(opts.lr_steps),
+            lr_gamma=opts.lr_gamma,
+            epochs=opts.epochs,
+        )
     num_classes = 20 if opts.dataset == "voc" else 80
     net, params, stats = make_detector(opts.model, num_classes, opts.img_size)
     is_yolo = opts.model.startswith("yolov5")
@@ -355,6 +362,13 @@ def getargs():
                            "accelerator (default; elementwise, fuses into the step), "
                            "on the loader host (reference placement), or disabled")
     args.add_argument("--seed", default=0, type=int, help="init/shuffle seed")
+    args.add_argument("--preset", default="", choices=["", "yolo"],
+                      help="'yolo': the ultralytics optimizer recipe "
+                           "(nesterov SGD 0.937, one_cycle cosine lrf=0.01, "
+                           "3-epoch warmup, masked weight decay 5e-4) — the "
+                           "settings behind the reference's YOLO training; "
+                           "overrides --opt/--lr/--momentum/-wd/"
+                           "--lr-scheduler. Pair with --augment yolo --ema.")
     args.add_argument("--ema", action="store_true",
                       help="keep a decay-ramped EMA shadow of the model "
                            "(params + BN stats), the ultralytics-recipe "
