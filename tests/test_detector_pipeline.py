@@ -443,3 +443,35 @@ def test_train_cli_yolo_preset(dataset):
     )
     train_cli.main(ns)
     assert (tmp / "ckpt_preset" / "checkpoint.pth").exists()
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    """backend='orbax' save + directory load round trip, including the
+    detect.py native-payload sniff on an orbax directory checkpoint."""
+    import jax
+    import jax.numpy as jnp
+
+    from edgeml_tpu.models.train import (
+        TrainConfig, load_checkpoint, make_optimizer, save_checkpoint,
+    )
+
+    cfg = TrainConfig()
+    params = {"w": jnp.arange(12.0).reshape(3, 4), "b": jnp.ones((4,))}
+    stats = {"m": jnp.zeros((4,)), "v": jnp.ones((4,))}
+    opt = make_optimizer(cfg)
+    opt_state = opt.init(params)
+    path = str(tmp_path / "ckpt_orbax")
+    save_checkpoint(path, params, stats, opt_state, cfg, 7, backend="orbax")
+    p2, s2, o2, payload = load_checkpoint(path)
+    assert payload["epoch"] == 7
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(stats),
+                    jax.tree_util.tree_leaves(s2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    import detect as detect_cli
+
+    native = detect_cli._native_payload(path)
+    assert native is not None and "params" in native["model"]
