@@ -171,7 +171,10 @@ def run_yolo():
 
     b = int(os.environ.get("BENCH_YOLO_BATCH", 128))
     iters = int(os.environ.get("BENCH_YOLO_ITERS", 10))
-    net = YoloV5(variant="n", num_classes=80, img_size=640)
+    # BENCH_YOLO_VARIANT=m measures the reference's STRONG detector instead
+    # (wider channels -> higher trunk MFU; the headline metric stays n).
+    variant = os.environ.get("BENCH_YOLO_VARIANT", "n")
+    net = YoloV5(variant=variant, num_classes=80, img_size=640)
     params, stats = net.init(jax.random.PRNGKey(0))
     meta = jnp.tile(jnp.asarray([[1.0, 0.0, 0.0]]), (b, 1))
     hw = jnp.tile(jnp.asarray([[640.0, 640.0]]), (b, 1))
@@ -263,7 +266,7 @@ def run_yolo():
                 f"billing {redo_s * 1e3:.1f} ms exact redo each")
         total = elapsed + nfail * redo_s
         ips = b * iters / total
-        log(f"yolov5n inference {name} (B={b}): {ips:.0f} img/s "
+        log(f"yolov5{variant} inference {name} (B={b}): {ips:.0f} img/s "
             f"({nfail}/{iters} steps redone exactly)")
         out[name] = round(ips, 1)
         out[name + "_redo_steps"] = nfail
