@@ -42,6 +42,15 @@ from .common import (
 BN_EPS = 1e-3
 BN_MOMENTUM = 0.03
 
+# Trace-time knob (tools/exp_c3fuse.py): run each C3 block's cv1/cv2 —
+# two 1x1 convs over the SAME input — as ONE conv with concatenated output
+# channels, then split. Numerically equivalent in both modes (every conv
+# output channel, BN channel statistic, and SiLU lane is independent; only
+# the conv contraction's summation order can reassociate), and doubles the MXU
+# lane utilization of those convs on narrow-channel variants (YOLOv5n's
+# first C3 runs cout=16 of 128 lanes). Default OFF until TPU-measured.
+C3_FUSE_CV12 = False
+
 # (depth_multiple, width_multiple) per variant.
 YOLOV5_VARIANTS = {
     "n": (0.33, 0.25),
@@ -221,8 +230,24 @@ class YoloV5:
 
     def _c3(self, x, p, s, shortcut, train):
         ns = {"m": []}
-        y1, ns["cv1"] = self._convbn(x, p["cv1"], s["cv1"], 0, 1, train)
-        y2, ns["cv2"] = self._convbn(x, p["cv2"], s["cv2"], 0, 1, train)
+        if C3_FUSE_CV12:
+            ch = p["cv1"]["g"].shape[0]
+            pf = {
+                "w": jnp.concatenate([p["cv1"]["w"], p["cv2"]["w"]], axis=3),
+                "g": jnp.concatenate([p["cv1"]["g"], p["cv2"]["g"]]),
+                "b": jnp.concatenate([p["cv1"]["b"], p["cv2"]["b"]]),
+            }
+            sf = {
+                "m": jnp.concatenate([s["cv1"]["m"], s["cv2"]["m"]]),
+                "v": jnp.concatenate([s["cv1"]["v"], s["cv2"]["v"]]),
+            }
+            y12, ns12 = self._convbn(x, pf, sf, 0, 1, train)
+            y1, y2 = y12[..., :ch], y12[..., ch:]
+            ns["cv1"] = {"m": ns12["m"][:ch], "v": ns12["v"][:ch]}
+            ns["cv2"] = {"m": ns12["m"][ch:], "v": ns12["v"][ch:]}
+        else:
+            y1, ns["cv1"] = self._convbn(x, p["cv1"], s["cv1"], 0, 1, train)
+            y2, ns["cv2"] = self._convbn(x, p["cv2"], s["cv2"], 0, 1, train)
         for bp, bs in zip(p["m"], s["m"]):
             b1, n1 = self._convbn(y1, bp["cv1"], bs["cv1"], 0, 1, train)
             b2, n2 = self._convbn(b1, bp["cv2"], bs["cv2"], 1, 1, train)

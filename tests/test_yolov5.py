@@ -440,3 +440,39 @@ def test_predict_fuse_conf_matches_manual():
             np.asarray(best), want_conf.max(axis=-1)
         )
         assert conf.dtype == cls.dtype and best.dtype == cls.dtype
+
+
+def test_c3_fuse_cv12_bit_exact():
+    """C3_FUSE_CV12 (one wide conv for each C3's cv1/cv2 pair) matches the
+    unfused walk in BOTH modes to reduction-reorder tolerance: every conv
+    output channel, BN channel statistic, and SiLU lane is independent, so
+    only the conv contraction's summation order can differ (XLA retiles the
+    wider output)."""
+    import edgeml_tpu.models.yolov5 as y5
+
+    net = YoloV5(variant="n", num_classes=12, img_size=64)
+    params, stats = net.init(jax.random.PRNGKey(5))
+    x = jax.random.uniform(jax.random.PRNGKey(6), (2, 64, 64, 3))
+
+    def run(train):
+        heads, new_stats, _ = net.apply(params, stats, x, train=train)
+        return heads, new_stats
+
+    try:
+        y5.C3_FUSE_CV12 = False
+        eval_ref, _ = jax.jit(lambda: run(False))()
+        train_ref, stats_ref = jax.jit(lambda: run(True))()
+        y5.C3_FUSE_CV12 = True
+        eval_fused, _ = jax.jit(lambda: run(False))()
+        train_fused, stats_fused = jax.jit(lambda: run(True))()
+    finally:
+        y5.C3_FUSE_CV12 = False
+    tol = dict(atol=1e-6, rtol=1e-4)
+    for a, b in zip(eval_ref, eval_fused):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), **tol)
+    for a, b in zip(train_ref, train_fused):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), **tol)
+    ra, rb = jax.tree_util.tree_leaves(stats_ref), jax.tree_util.tree_leaves(stats_fused)
+    assert len(ra) == len(rb)
+    for a, b in zip(ra, rb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), **tol)

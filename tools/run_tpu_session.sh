@@ -26,4 +26,5 @@ run python tools/exp_confused.py 128 16 f32
 run python tools/exp_ablate3.py 128 8 bf16 fused
 run python tools/exp_gather7.py 128 8
 run python tools/exp_trunk2.py 128 8 bf16
+run python tools/exp_c3fuse.py 128 16 bf16
 echo "session done: $LOG"
