@@ -27,6 +27,20 @@ class Compose:
         return image, target
 
 
+# COCO person left/right joint swap under a horizontal flip
+# (/root/reference/torch_models/references/transforms.py:10-17).
+_KP_FLIP_INDS = (0, 2, 1, 4, 3, 6, 5, 8, 7, 10, 9, 12, 11, 14, 13, 16, 15)
+
+
+def flip_coco_person_keypoints(kps, width):
+    """Mirror (N, 17, 3) COCO keypoints: swap left/right joints, reflect x,
+    and keep the convention that invisible joints (v == 0) sit at (0, 0)."""
+    flipped = np.asarray(kps)[:, list(_KP_FLIP_INDS)].copy()
+    flipped[..., 0] = width - flipped[..., 0]
+    flipped[flipped[..., 2] == 0] = 0
+    return flipped
+
+
 class RandomHorizontalFlip:
     def __init__(self, p: float = 0.5):
         self.p = p
@@ -38,7 +52,14 @@ class RandomHorizontalFlip:
         image = image[:, ::-1].copy()
         boxes = target["boxes"].copy()
         boxes[:, [0, 2]] = w - boxes[:, [2, 0]]
-        return image, {**target, "boxes": boxes}
+        target = {**target, "boxes": boxes}
+        if "masks" in target:
+            target["masks"] = np.asarray(target["masks"])[..., ::-1].copy()
+        if "keypoints" in target:
+            target["keypoints"] = flip_coco_person_keypoints(
+                target["keypoints"], w
+            )
+        return image, target
 
 
 def _box_ioa(boxes, crop):

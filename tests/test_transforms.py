@@ -112,3 +112,30 @@ def test_compose_pipeline():
     out, t2 = pipe(img, tgt, rng)
     assert out.ndim == 3 and out.shape[2] == 3
     assert len(t2["boxes"]) == len(t2["labels"])
+
+
+def test_hflip_masks_and_keypoints():
+    """The flip mirrors masks and COCO person keypoints like the reference
+    (references/transforms.py:10-45): left/right joints swap, x reflects,
+    and invisible joints stay pinned at zero."""
+    from edgeml_tpu.data.transforms import flip_coco_person_keypoints
+
+    img, tgt = sample()
+    h, w = img.shape[:2]
+    masks = np.zeros((2, h, w), np.uint8)
+    masks[0, :, :10] = 1
+    kps = np.zeros((1, 17, 3), np.float32)
+    kps[0, 1] = (12.0, 7.0, 2.0)   # left_eye -> index 2 after the swap
+    kps[0, 2] = (20.0, 8.0, 1.0)   # right_eye -> index 1
+    kps[0, 3] = (0.0, 0.0, 0.0)    # invisible: must stay (0, 0, 0)
+    tgt = {**tgt, "masks": masks, "keypoints": kps}
+    rng = np.random.default_rng(3)
+    _, t2 = RandomHorizontalFlip(p=1.0)(img, tgt, rng)
+    assert t2["masks"][0, :, -10:].all() and not t2["masks"][0, :, :-10].any()
+    np.testing.assert_allclose(t2["keypoints"][0, 2], [w - 12.0, 7.0, 2.0])
+    np.testing.assert_allclose(t2["keypoints"][0, 1], [w - 20.0, 8.0, 1.0])
+    # index 4 (left-ear slot) took old index 3's invisible joint -> zeroed
+    np.testing.assert_allclose(t2["keypoints"][0, 4], [0.0, 0.0, 0.0])
+    # round trip is identity
+    back = flip_coco_person_keypoints(t2["keypoints"], w)
+    np.testing.assert_allclose(back, kps)
