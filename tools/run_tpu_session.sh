@@ -40,4 +40,8 @@ BENCH_YOLO_BATCH=256 BENCH_YOLO_ITERS=8 timeout 2400 python -c "
 import bench; print(bench.run_yolo())" >> "$LOG" 2>&1
 echo "--- rc=$? ---" | tee -a "$LOG"
 run python tools/exp_rcnn.py
+echo "=== yolov5m (strong detector) serving ===" | tee -a "$LOG"
+BENCH_YOLO_VARIANT=m BENCH_YOLO_BATCH=64 BENCH_YOLO_ITERS=8 \
+  timeout 2400 python -c "import bench; print(bench.run_yolo())" >> "$LOG" 2>&1
+echo "--- rc=$? ---" | tee -a "$LOG"
 echo "session done: $LOG"
