@@ -32,6 +32,7 @@ run python tools/exp_c3fuse.py 128 16 bf16
 run python tools/exp_gather7.py 128 8
 run python tools/exp_ablate3.py 128 8 bf16 fused
 run python tools/exp_trunk2.py 128 8 bf16
+run python tools/exp_train_ablate.py 64 8 bf16
 echo "=== bench.py (BENCH_YOLO_INT8=1) ===" | tee -a "$LOG"
 BENCH_YOLO_INT8=1 timeout 4000 python bench.py >> "$LOG" 2>&1
 echo "--- rc=$? ---" | tee -a "$LOG"
