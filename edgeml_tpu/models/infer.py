@@ -25,6 +25,16 @@ from .common import letterbox_batch
 from .yolov5 import STRIDES, YoloV5
 
 
+FUSE_CONF = False
+"""Serving-tail mode, read at trace time. True routes predict through the
+conf_fused epilogue (trunk emits obj*cls + row max; the NMS tail drops its
+obj gather and full-matrix pass). Detections are bit-identical either way
+(tests/test_nms_split_batch.py::test_conf_fused_matches_unfused). Default
+OFF: measured v5e round 4 (tools/exp_confused.py, B=128, 16 chained iters):
+unfused 23.69 ms vs fused 24.25 bf16; 32.84 vs 33.97 f32 — the trunk-side
+full-matrix epilogue costs slightly more than the tail saves, both dtypes."""
+
+
 def _nms_unmap(pred, meta, orig_hw, conf_thres, iou_thres,
                max_det, multi_label, fallback="cond"):
     """Batched NMS + letterbox unmap over split trunk outputs (the serial
@@ -34,14 +44,13 @@ def _nms_unmap(pred, meta, orig_hw, conf_thres, iou_thres,
     run_detection) — an in-program lax.cond costs ~8 ms/128-batch even when
     the fast branch is taken.
 
-    pred: (best, xywh, conf) from predict(fuse_conf=True) — the serving
-    pipeline always runs the conf_fused tail (bit-identical detections,
-    no full-matrix pass, no obj gather)."""
+    pred: predict(fuse_conf=FUSE_CONF) components — raw (obj, xywh, cls)
+    by default, or (best, xywh, conf) under the conf_fused knob."""
     obj, xywh, cls = pred
     nms_out = nms_split_batch(
         obj, xywh, cls, conf_thres, iou_thres,
         max_det=max_det, multi_label=multi_label, fallback=fallback,
-        conf_fused=True,
+        conf_fused=FUSE_CONF,
     )
     dets, valid = nms_out[:2]
     out_extra = nms_out[2:]  # (ok,) in flag mode
@@ -100,9 +109,11 @@ def _detect_batch(
     if q8 is not None:
         from .quant import q8_predict
 
-        pred = q8_predict(net, q8, images, score_dtype=dtype, fuse_conf=True)
+        pred = q8_predict(net, q8, images, score_dtype=dtype,
+                          fuse_conf=FUSE_CONF)
     else:
-        pred = net.predict(params, stats, images, dtype=dtype, fuse_conf=True)
+        pred = net.predict(params, stats, images, dtype=dtype,
+                           fuse_conf=FUSE_CONF)
     return _nms_unmap(pred, meta, orig_hw, conf_thres, iou_thres,
                       max_det, multi_label)
 
@@ -143,9 +154,11 @@ def _detect_pipe_step(
     if q8 is not None:
         from .quant import q8_predict
 
-        new = q8_predict(net, q8, images, score_dtype=dtype, fuse_conf=True)
+        new = q8_predict(net, q8, images, score_dtype=dtype,
+                         fuse_conf=FUSE_CONF)
     else:
-        new = net.predict(params, stats, images, dtype=dtype, fuse_conf=True)
+        new = net.predict(params, stats, images, dtype=dtype,
+                          fuse_conf=FUSE_CONF)
     dets, valid, ok = _nms_unmap(ppred, pmeta, phw, conf_thres,
                                  iou_thres, max_det, multi_label,
                                  fallback="flag")
@@ -164,8 +177,9 @@ def exact_redo(prev, conf_thres, iou_thres, max_det=300, multi_label=True):
 def _zero_carry(net: YoloV5, batch: int, size: int, dtype=None):
     """A zero previous-batch carry for priming _detect_pipe_step.
 
-    The carry holds predict(fuse_conf=True)'s (best, xywh, conf); zeros are
-    a consistent instance (best 0 -> no candidates). dtype must match the
+    The carry holds predict()'s three components (same shapes fused or
+    unfused); zeros are a consistent instance (score 0 -> no candidates).
+    dtype must match the
     serving dtype passed to the step: predict emits best/conf in that dtype
     (boxes stay f32), and a mismatched zero carry would recompile the step
     on its second invocation — mid-loop, if the caller timed only one

@@ -287,20 +287,24 @@ def _ap_matrix(pool, weak_sel, strong_sel, label_sel):
     return _ap_from_sel(pool, sel, nt), (nt > 0).astype(dtype)
 
 
-MM_CUMSUM = False
+MM_CUMSUM = True
 """Route _ap_from_sel's per-draw cumsums through triangular MXU matmuls
 instead of the VPU lane scan. Bit-exact (operands are 0/1 — exact in the
 MXU's bf16 operand rounding — and every partial sum is an integer < 2^24
-accumulated in f32, so summation order cannot matter). Off by default
-pending TPU measurement (tools/exp_orie2.py stages 3c/3x). Read at trace
-time: flip + clear_cache of jitted callers (reward.orie._orie_batch,
-map_from_masks)."""
+accumulated in f32, so summation order cannot matter). Default ON: measured
+v5e round 4 (tools/exp_orie2.py stage 3c vs 3): 27.18 vs 29.56 ms/512-draw
+batch (+8.8% ORIE throughput), bit-exact vs the scan confirmed on-device.
+Read at trace time: flip + clear_cache of jitted callers
+(reward.orie._orie_batch, map_from_masks)."""
 
 MM_LM_ROWS = False
 """Route orie_map_pair's per-draw (C, K) mask gather through a one-hot
 matmul against the constant image-membership matrix. Exact for the same
-0/1-operand reason. Off by default pending TPU measurement
-(tools/exp_orie2.py stages 2m/3m). Same trace-time caveat as MM_CUMSUM."""
+0/1-operand reason. Default OFF: measured v5e round 4 (tools/exp_orie2.py
+stage 2m vs 2: 8.37 vs 6.92 ms; 3m vs 3: 30.91 vs 29.56 ms) — the one-hot
+build costs more than the gather saves at the production shape, and the
+(C*K, N) constant would approach ~2 GB at COCO-val 5k scale. Same
+trace-time caveat as MM_CUMSUM."""
 
 
 def _cumsum01_lastaxis(x: jax.Array) -> jax.Array:

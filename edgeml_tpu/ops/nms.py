@@ -294,11 +294,15 @@ def nms_split(
     return _emit(cand_boxes, top_scores, cls_idx, iou_thres, max_det)
 
 
-# Experiment switch (tools/exp_gather7.py): route the cls row gather through
-# a one-hot MXU matmul instead of a dynamic gather. Only valid for bf16 cls
+# Route the cls (and obj, when bf16) row gather through a one-hot MXU
+# matmul instead of a dynamic gather. Only applies to bf16 payloads
 # (DEFAULT-precision matmuls round operands to bfloat16 — lossless there,
-# corrupting for f32 payloads).
-_GATHER_ONEHOT = False
+# corrupting for f32; boxes ALWAYS stay on narrow gathers). Default ON:
+# measured v5e round 4 (tools/exp_gather7.py, B=128 bf16): narrow gathers
+# 23.90 ms/batch vs one-hot cls 21.88 vs one-hot cls+obj 20.79 — the
+# (G, N) @ (N, nc) matmul streams the cls matrix at HBM bandwidth while
+# the dynamic gather pays ~1 cycle/element on the VPU. Read at trace time.
+_GATHER_ONEHOT = True
 
 
 def _gather_rows(box_pre, xywh, obj, cls):
@@ -321,10 +325,21 @@ def _gather_rows(box_pre, xywh, obj, cls):
     while the 40-wide f32 gather saved nothing over the 80-wide bf16 one.
     Plain narrow gathers are the fast path."""
     if _GATHER_ONEHOT and cls.dtype == jnp.bfloat16:
-        n = cls.shape[0]
+        n, nc = cls.shape
         oh = (box_pre[:, None] == jax.lax.iota(jnp.int32, n)[None, :]).astype(
             cls.dtype
         )
+        if obj is not None and obj.dtype == cls.dtype:
+            # Fold obj in as one more matmul column (measured: another
+            # -1.1 ms/128-batch over the cls-only matmul — the concat fuses
+            # into the operand stream; a separate narrow obj gather would
+            # pay its own ~16 cycles/row serial pass).
+            both = jax.lax.dot_general(
+                oh, jnp.concatenate([cls, obj[:, None]], axis=1),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=cls.dtype,
+            )
+            return xywh[box_pre], both[:, nc], both[:, :nc]
         cls_rows = jax.lax.dot_general(
             oh, cls, (((1,), (0,)), ((), ())),
             preferred_element_type=cls.dtype,

@@ -209,27 +209,28 @@ def test_bf16_tie_clusters_hold_certificate_and_match_exact():
 
 
 def test_onehot_cls_gather_matches_narrow():
-    """The one-hot MXU cls-row gather (_GATHER_ONEHOT) is bit-identical to
-    the narrow dynamic gather for bfloat16 payloads — the values are already
-    bf16, so DEFAULT-precision operand rounding is lossless — through the
-    full batched entry point (fast pool, certificate, emit)."""
+    """The one-hot MXU cls+obj row gather (_GATHER_ONEHOT, the production
+    bf16 default since round 4) is bit-identical to the narrow dynamic
+    gathers — the payloads are already bf16, so DEFAULT-precision operand
+    rounding is lossless — through the full batched entry point (fast pool,
+    certificate, emit)."""
     from edgeml_tpu.ops import nms as nms_mod
 
     rng = np.random.default_rng(11)
     obj, xywh, cls = make_case(rng, 2, 800, 80)
     obj16, cls16 = obj.astype(jnp.bfloat16), cls.astype(jnp.bfloat16)
     kw = dict(conf_thres=1e-4, iou_thres=0.6, max_det=64, max_cand=128)
-    d_ref, v_ref, ok_ref = nms_split_batch(
-        obj16, xywh, cls16, fallback="flag", **kw
-    )
-    assert not nms_mod._GATHER_ONEHOT
-    nms_mod._GATHER_ONEHOT = True
+    assert nms_mod._GATHER_ONEHOT  # production default: one-hot ON
+    d, v, ok = nms_split_batch(obj16, xywh, cls16, fallback="flag", **kw)
+    nms_mod._GATHER_ONEHOT = False
     nms_split_batch.clear_cache()  # the flag is read at trace time
     try:
-        d, v, ok = nms_split_batch(obj16, xywh, cls16, fallback="flag", **kw)
+        d_ref, v_ref, ok_ref = nms_split_batch(
+            obj16, xywh, cls16, fallback="flag", **kw
+        )
     finally:
-        nms_mod._GATHER_ONEHOT = False
-        nms_split_batch.clear_cache()  # don't leak the one-hot trace
+        nms_mod._GATHER_ONEHOT = True
+        nms_split_batch.clear_cache()  # don't leak the narrow trace
     assert bool(ok) == bool(ok_ref)
     np.testing.assert_array_equal(np.asarray(v), np.asarray(v_ref))
     np.testing.assert_array_equal(np.asarray(d), np.asarray(d_ref))
@@ -294,10 +295,10 @@ def test_run_detection_pipeline_files_exact(tmp_path):
 
 
 def test_run_detection_bf16_onehot_gather_files_equal(tmp_path):
-    """Full bf16 serving pipeline (run_detection) with the one-hot MXU cls
-    gather forced on: per-image files bit-equal the narrow-gather run (the
-    gathered values are identical, so every downstream rank/NMS/unmap stage
-    sees the same inputs)."""
+    """Full bf16 serving pipeline (run_detection) at the production default
+    (one-hot MXU cls+obj gather): per-image files bit-equal the narrow-gather
+    run (the gathered values are identical, so every downstream rank/NMS/
+    unmap stage sees the same inputs)."""
     import jax as _jax
     from edgeml_tpu.models import infer as infer_mod
     from edgeml_tpu.models.infer import run_detection
@@ -318,20 +319,20 @@ def test_run_detection_bf16_onehot_gather_files_equal(tmp_path):
         infer_mod._detect_pipe_step.clear_cache()
         infer_mod._detect_batch.clear_cache()
 
-    out_a = tmp_path / "narrow"
-    run_detection(net, params, stats, str(img_dir), str(out_a),
+    out_b = tmp_path / "onehot"
+    assert nms_mod._GATHER_ONEHOT  # production default: one-hot ON
+    run_detection(net, params, stats, str(img_dir), str(out_b),
                   batch_size=2, conf_thres=1e-3, iou_thres=0.5,
                   img_size=64, dtype=jnp.bfloat16)
-    assert not nms_mod._GATHER_ONEHOT
-    nms_mod._GATHER_ONEHOT = True
+    nms_mod._GATHER_ONEHOT = False
     clear()  # the flag is read at trace time
     try:
-        out_b = tmp_path / "onehot"
-        run_detection(net, params, stats, str(img_dir), str(out_b),
+        out_a = tmp_path / "narrow"
+        run_detection(net, params, stats, str(img_dir), str(out_a),
                       batch_size=2, conf_thres=1e-3, iou_thres=0.5,
                       img_size=64, dtype=jnp.bfloat16)
     finally:
-        nms_mod._GATHER_ONEHOT = False
+        nms_mod._GATHER_ONEHOT = True
         clear()
     for i in range(4):
         a = np.load(out_a / f"im{i}.npy")

@@ -89,12 +89,12 @@ def stage_pipeline(upto):
                 )
                 return cand, ts.astype(jnp.float32), col.astype(jnp.float32)
 
-            if upto == 5:
-                nms_mod._GATHER_ONEHOT = True
+            saved = nms_mod._GATHER_ONEHOT
+            nms_mod._GATHER_ONEHOT = upto == 5  # 4: narrow, 5: one-hot
             try:
                 cand, scores, cidx = jax.vmap(sel)(obj, xywh, cls)
             finally:
-                nms_mod._GATHER_ONEHOT = False
+                nms_mod._GATHER_ONEHOT = saved
             off = cand + cidx[..., None] * MAX_WH
             kept = greedy_keep_mask_fused(off, scores, IOU)
 

@@ -1,14 +1,16 @@
 #!/bin/bash
 # Trimmed round-3 TPU session for a short wall-clock window: the
-# decision-informing A/Bs first (they pick production defaults), then
-# bench.py to record headline numbers under whatever defaults win.
+# decision-informing A/Bs only (they pick production defaults). bench.py
+# is NOT run here — launch it separately after reviewing the A/B results.
 # Sequential — one JAX process at a time (CLAUDE.md rule).
 cd "$(dirname "$0")/.." || exit 1
 LOG=${1:-/tmp/tpu_session.log}
 : > "$LOG"
 run() {
   echo "=== $* ===" | tee -a "$LOG"
-  timeout "${T:-900}" "$@" >> "$LOG" 2>&1
+  # Default must survive observed axon remote-compile variance (up to 417s
+  # per program; exp_orie2 compiles up to 8 stage variants — CLAUDE.md).
+  timeout "${T:-2400}" "$@" >> "$LOG" 2>&1
   echo "--- rc=$? ---" | tee -a "$LOG"
 }
 run python tools/exp_confused.py 128 16 bf16
