@@ -154,8 +154,8 @@ def run_ours(weak, strong, labels):
     return ips
 
 
-def run_yolo():
-    """YOLOv5n 640 end-to-end serving throughput (backbone + split decode +
+def run_yolo(variant=None, b=None, iters=None, int8=None):
+    """YOLOv5 640 end-to-end serving throughput (backbone + split decode +
     class-aware NMS at conf 1e-5, i.e. a full 1024-candidate pool per image).
 
     Methodology: launches are CHAINED through a scalar accumulator so each
@@ -169,11 +169,14 @@ def run_yolo():
     from edgeml_tpu.models.infer import _detect_pipe_step, _zero_carry
     from edgeml_tpu.models.yolov5 import YoloV5
 
-    b = int(os.environ.get("BENCH_YOLO_BATCH", 128))
-    iters = int(os.environ.get("BENCH_YOLO_ITERS", 10))
+    if b is None:
+        b = int(os.environ.get("BENCH_YOLO_BATCH", 128))
+    if iters is None:
+        iters = int(os.environ.get("BENCH_YOLO_ITERS", 10))
     # BENCH_YOLO_VARIANT=m measures the reference's STRONG detector instead
     # (wider channels -> higher trunk MFU; the headline metric stays n).
-    variant = os.environ.get("BENCH_YOLO_VARIANT", "n")
+    if variant is None:
+        variant = os.environ.get("BENCH_YOLO_VARIANT", "n")
     net = YoloV5(variant=variant, num_classes=80, img_size=640)
     params, stats = net.init(jax.random.PRNGKey(0))
     meta = jnp.tile(jnp.asarray([[1.0, 0.0, 0.0]]), (b, 1))
@@ -204,7 +207,9 @@ def run_yolo():
         return hash_uniform(seed, (b, 640, 640, 3))
 
     variants = [("f32", None, None), ("bf16", jnp.bfloat16, None)]
-    if os.environ.get("BENCH_YOLO_INT8", "0") == "1":
+    if int8 is None:
+        int8 = os.environ.get("BENCH_YOLO_INT8", "1") == "1"
+    if int8:
         # int8 post-training-quantized trunk + keyed bf16 NMS tail (the
         # --int8 --bf16 serving mode, models/quant.py).
         from edgeml_tpu.models.quant import prepare_int8
@@ -273,6 +278,77 @@ def run_yolo():
     return out
 
 
+def run_families():
+    """Anchor-family serving throughput (SSDLite320-MNv3, RetinaNet-R50-FPNv2,
+    Faster R-CNN-R50-FPNv2) — the reference's torch_models/detect.py model
+    list (/root/reference/torch_models/detect.py:15-42) at B=16, random
+    weights, chained-launch + value-fetch methodology (see run_yolo).
+
+    f32 for all three (CLAUDE.md: SSD f32 convs already run at bf16 MXU
+    speed at DEFAULT precision) plus the bf16 backbone knob for RetinaNet,
+    where it is a measured win."""
+    import jax
+    import jax.numpy as jnp
+
+    from edgeml_tpu.models.infer import _detect_generic
+    from edgeml_tpu.utils.synth import hash_uniform
+
+    b = int(os.environ.get("BENCH_FAM_BATCH", 16))
+    iters = int(os.environ.get("BENCH_FAM_ITERS", 6))
+    out = {}
+
+    def one(tag, net, params, stats, size, dt):
+        @jax.jit
+        def step(acc, seed):
+            imgs = hash_uniform(seed, (b, size, size, 3))
+            dets, valid = _detect_generic(
+                net, params, stats, imgs, 0.05, 0.5, dtype=dt
+            )
+            return acc + dets.sum() * 1e-9 + valid.sum() * 1e-9
+
+        t0 = time.perf_counter()
+        acc = step(jnp.zeros(()), 0)
+        float(acc)  # value fetch — axon block_until_ready is a no-op
+        log(f"{tag} warmup incl. compile: {time.perf_counter() - t0:.1f}s")
+        t0 = time.perf_counter()
+        for i in range(iters):
+            acc = step(acc, 1 + i)
+        float(acc)
+        ips = b * iters / (time.perf_counter() - t0)
+        log(f"{tag} (B={b}): {ips:.1f} img/s")
+        out[tag] = round(ips, 1)
+
+    def guarded(tag, *args):
+        # One family's compile failure must not void the whole bench record
+        # (round 4: the SSD program lost the remote-compile lottery once and
+        # took the train metrics down with it).
+        try:
+            one(tag, *args)
+        except Exception as e:  # noqa: BLE001 — record and continue
+            log(f"{tag} FAILED: {type(e).__name__}: {str(e)[:300]}")
+            out[tag] = None
+
+    from edgeml_tpu.models.ssdlite import SSDLite
+
+    net = SSDLite(num_classes=91)
+    params, stats = net.init(jax.random.PRNGKey(0))
+    guarded("ssdlite_f32", net, params, stats, net.image_size, None)
+
+    from edgeml_tpu.models.retinanet import RetinaNet
+
+    net = RetinaNet(num_classes=91)
+    params = net.init(jax.random.PRNGKey(0))
+    guarded("retinanet_f32", net, params, None, net.image_size, None)
+    guarded("retinanet_bf16", net, params, None, net.image_size, jnp.bfloat16)
+
+    from edgeml_tpu.models.faster_rcnn import FasterRCNN
+
+    net = FasterRCNN(num_classes=91)
+    params = net.init(jax.random.PRNGKey(0))
+    guarded("faster_rcnn_f32", net, params, None, net.image_size, None)
+    return out
+
+
 def run_train():
     """YOLOv5n 640 training-step throughput (fwd + bwd + SGD), f32 and bf16
     (the AMP-equivalent path, models/train.py make_train_step dtype knob).
@@ -333,12 +409,32 @@ def main():
     weak, strong, labels = make_workload(rng)
     baseline_ips = run_baseline(weak, strong, labels)
     ours_ips = run_ours(weak, strong, labels)
-    yolo = {}
-    if os.environ.get("BENCH_SKIP_YOLO", "0") != "1":
-        yolo = run_yolo()
-    train = {}
-    if os.environ.get("BENCH_SKIP_TRAIN", "0") != "1":
-        train = run_train()
+    def section(skip_var, fn):
+        # A section's failure (remote-compile 500s happen — CLAUDE.md
+        # flakiness notes) must not void the other sections' record: the
+        # driver keeps whatever JSON line we manage to print.
+        if os.environ.get(skip_var, "0") == "1":
+            return {}
+        try:
+            return fn()
+        except Exception as e:  # noqa: BLE001
+            log(f"section {skip_var[11:]} FAILED: "
+                f"{type(e).__name__}: {str(e)[:300]}")
+            return {}
+
+    yolo = section("BENCH_SKIP_YOLO", run_yolo)
+    # the reference's STRONG detector (yolov5m, yolov5_scripts.md:17);
+    # B=64 (the m activations are ~2.4x n's). int8 ON: unlike the narrow n
+    # trunk, PTQ WINS on m (measured r4: 1,325 int8 vs 1,228 bf16 img/s —
+    # quantization pays where the MXU is busy).
+    strongdet = section("BENCH_SKIP_STRONG", lambda: run_yolo(
+        variant="m",
+        b=int(os.environ.get("BENCH_STRONG_BATCH", 64)),
+        iters=int(os.environ.get("BENCH_STRONG_ITERS", 8)),
+        int8=os.environ.get("BENCH_STRONG_INT8", "1") == "1",
+    ))
+    fams = section("BENCH_SKIP_FAMILIES", run_families)
+    train = section("BENCH_SKIP_TRAIN", run_train)
     print(
         json.dumps(
             {
@@ -350,6 +446,15 @@ def main():
                 "yolov5n_infer_imgs_per_sec_bf16": yolo.get("bf16"),
                 "yolov5n_infer_imgs_per_sec_int8": yolo.get("int8"),
                 "yolov5n_infer_round1_imgs_per_sec": 300.0,
+                "yolov5m_infer_imgs_per_sec_f32": strongdet.get("f32"),
+                "yolov5m_infer_imgs_per_sec_bf16": strongdet.get("bf16"),
+                "yolov5m_infer_imgs_per_sec_int8": strongdet.get("int8"),
+                "ssdlite_infer_imgs_per_sec_f32": fams.get("ssdlite_f32"),
+                "retinanet_infer_imgs_per_sec_f32": fams.get("retinanet_f32"),
+                "retinanet_infer_imgs_per_sec_bf16": fams.get("retinanet_bf16"),
+                "faster_rcnn_infer_imgs_per_sec_f32": fams.get(
+                    "faster_rcnn_f32"
+                ),
                 "yolov5n_train_imgs_per_sec_f32": train.get("f32"),
                 "yolov5n_train_imgs_per_sec_bf16": train.get("bf16"),
             }

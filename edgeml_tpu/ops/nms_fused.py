@@ -81,7 +81,12 @@ def _kernel(off_ref, offt_ref, valid_ref, out_ref, sup_ref, *, iou_thres, tj):
 def _pallas_call(off, offt, sc, iou_thres: float, interpret: bool):
     """The raw kernel launch on whatever (local) batch it is handed."""
     b, k, _ = off.shape
-    tj = 256
+    # Scoped VMEM budget is 16 MB: the sup scratch is k*k bf16 (8 MB at
+    # K=2048) and the tile-loop temporaries are ~4 live (tj, k) f32 arrays.
+    # tj=256 at K=2048 measured 16.52M scoped and failed to compile (the
+    # SSD B=16 f32 serving program, round 4); tj=128 keeps the stack ~4.3 MB
+    # and fits. K<=1024 keeps the measured-fast tj=256.
+    tj = 256 if k <= 1024 else 128
     return pl.pallas_call(
         functools.partial(_kernel, iou_thres=float(iou_thres), tj=tj),
         grid=(b,),
