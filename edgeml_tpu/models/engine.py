@@ -166,16 +166,24 @@ def make_family_train_step(net, cfg: TrainConfig, dtype=None):
 
 
 def evaluate(net, params, stats, images, gt_rows, batch_size: int = 8,
-             conf_thres: float = 0.05, iou_thres: float = 0.5):
+             conf_thres: float = 0.05, iou_thres: float = 0.5,
+             dtype=None, q8=None):
     """Run detection over in-memory images and score against GT rows
     (normalized [cls, x, y, w, h] per image). Returns the AP summary dict —
-    the engine.py:75-115 evaluate() equivalent, on-device end to end."""
+    the engine.py:75-115 evaluate() equivalent, on-device end to end.
+
+    dtype / q8 are the serving knobs of models/infer.py (_detect_batch):
+    bfloat16 compute and the int8 post-training-quantized trunk — so the
+    PTQ accuracy delta is measurable as a dataset mAP difference
+    (DIVERGENCES #18; q8 is YOLO-only, like --int8 serving)."""
     from ..eval_coco import DetectionEvaluator
     from .infer import _detect_batch, _detect_generic
     from .common import letterbox_batch
 
     ev = DetectionEvaluator()
     is_yolo = type(net).__name__ == "YoloV5"
+    if q8 is not None and not is_yolo:
+        raise ValueError("int8 (q8) evaluation is implemented for YOLO only")
     for s in range(0, len(images), batch_size):
         chunk = images[s : s + batch_size]
         pad = batch_size - len(chunk)
@@ -186,6 +194,7 @@ def evaluate(net, params, stats, images, gt_rows, batch_size: int = 8,
             dets, valid = _detect_batch(
                 net, params, stats, jnp.asarray(lb), jnp.asarray(meta),
                 jnp.asarray(hw), conf_thres, iou_thres,
+                dtype=dtype, q8=q8,
             )
         else:
             size = net.image_size
@@ -204,7 +213,7 @@ def evaluate(net, params, stats, images, gt_rows, batch_size: int = 8,
             std = np.array([0.229, 0.224, 0.225], np.float32)
             dets, valid = _detect_generic(
                 net, params, stats, jnp.asarray((rs - mean) / std),
-                conf_thres, iou_thres,
+                conf_thres, iou_thres, dtype=dtype,
             )
         dets, valid = np.asarray(dets), np.asarray(valid)
         det_batch, gt_batch = [], []

@@ -257,6 +257,7 @@ def main(opts):
     steps_per_epoch = max(n // bs, 1)
     rng = np.random.default_rng(opts.seed)
     key = jax.random.PRNGKey(opts.seed)
+    epoch_losses = []  # per-epoch mean loss, returned for smoke/e2e tests
     print("Start training")
     for epoch in range(opts.start_epoch, opts.epochs):
         epoch_state["epoch"] = epoch
@@ -312,7 +313,13 @@ def main(opts):
                 os.path.join(opts.save_dir, "checkpoint.pth"),
                 params, stats, opt_state, cfg, epoch, ema=ema_payload,
             )
+        epoch_losses.append(logger.meters["loss"].global_avg)
         print(f"Epoch {epoch} finished")
+    return {
+        "epoch_loss": epoch_losses,
+        "state": (net, params, stats),
+        "ema": ema_tree,
+    }
 
 
 def getargs():
