@@ -243,8 +243,9 @@ def run_yolo(variant=None, b=None, iters=None, int8=None):
             )
             return (nxt, acc + d.sum(), nfail + (1 - ok.astype(jnp.int32)))
 
-        zero = (_zero_carry(net, b, 640, dt), jnp.zeros(()),
-                jnp.zeros((), jnp.int32))
+        # q8 serving keeps the decoded carry even under the raw-tail default
+        zero = (_zero_carry(net, b, 640, dt, raw=False if q8 else None),
+                jnp.zeros(()), jnp.zeros((), jnp.int32))
         t0 = time.perf_counter()
         carry = step(zero, 0)
         # float() fetches, NOT block_until_ready: on the axon backend block

@@ -34,6 +34,16 @@ OFF: measured v5e round 4 (tools/exp_confused.py, B=128, 16 chained iters):
 unfused 23.69 ms vs fused 24.25 bf16; 32.84 vs 33.97 f32 — the trunk-side
 full-matrix epilogue costs slightly more than the tail saves, both dtypes."""
 
+RAW_TAIL = False
+"""Serving-tail mode, read at trace time (flip + clear_cache of
+_detect_batch/_detect_pipe_step). True routes YOLO serving through the
+raw-logit tail: predict_raw (no full-matrix sigmoid, no full f32 box
+decode) + ops/nms_raw.nms_split_batch_raw (sigmoid/decode applied per
+gathered row; in bf16 the whole row gather is one lossless one-hot MXU
+matmul). Detections are bit-identical either way (tests/test_nms_raw.py).
+Does not apply to int8 serving (q8 keeps the decoded path). Default OFF
+pending TPU measurement (tools/exp_rawserve.py)."""
+
 
 def _nms_unmap(pred, meta, orig_hw, conf_thres, iou_thres,
                max_det, multi_label, fallback="cond"):
@@ -44,14 +54,25 @@ def _nms_unmap(pred, meta, orig_hw, conf_thres, iou_thres,
     run_detection) — an in-program lax.cond costs ~8 ms/128-batch even when
     the fast branch is taken.
 
-    pred: predict(fuse_conf=FUSE_CONF) components — raw (obj, xywh, cls)
-    by default, or (best, xywh, conf) under the conf_fused knob."""
-    obj, xywh, cls = pred
-    nms_out = nms_split_batch(
-        obj, xywh, cls, conf_thres, iou_thres,
-        max_det=max_det, multi_label=multi_label, fallback=fallback,
-        conf_fused=FUSE_CONF,
-    )
+    pred: predict(fuse_conf=FUSE_CONF) components — (obj, xywh, cls)
+    by default, (best, xywh, conf) under the conf_fused knob, or the
+    6-tuple raw-tail carry (score, obj, xy_raw, wh_raw, cls_raw, geo)
+    under RAW_TAIL (ops/nms_raw.py; geo rides in the carry so the host
+    redo path needs no params)."""
+    if len(pred) == 6:
+        from ..ops.nms_raw import nms_split_batch_raw
+
+        nms_out = nms_split_batch_raw(
+            *pred, conf_thres, iou_thres,
+            max_det=max_det, multi_label=multi_label, fallback=fallback,
+        )
+    else:
+        obj, xywh, cls = pred
+        nms_out = nms_split_batch(
+            obj, xywh, cls, conf_thres, iou_thres,
+            max_det=max_det, multi_label=multi_label, fallback=fallback,
+            conf_fused=FUSE_CONF,
+        )
     dets, valid = nms_out[:2]
     out_extra = nms_out[2:]  # (ok,) in flag mode
     r = meta[:, 0:1]
@@ -111,6 +132,9 @@ def _detect_batch(
 
         pred = q8_predict(net, q8, images, score_dtype=dtype,
                           fuse_conf=FUSE_CONF)
+    elif RAW_TAIL:
+        pred = net.predict_raw(params, stats, images, dtype=dtype) \
+            + (net.raw_geometry(params),)
     else:
         pred = net.predict(params, stats, images, dtype=dtype,
                            fuse_conf=FUSE_CONF)
@@ -156,6 +180,9 @@ def _detect_pipe_step(
 
         new = q8_predict(net, q8, images, score_dtype=dtype,
                          fuse_conf=FUSE_CONF)
+    elif RAW_TAIL:
+        new = net.predict_raw(params, stats, images, dtype=dtype) \
+            + (net.raw_geometry(params),)
     else:
         new = net.predict(params, stats, images, dtype=dtype,
                           fuse_conf=FUSE_CONF)
@@ -174,25 +201,40 @@ def exact_redo(prev, conf_thres, iou_thres, max_det=300, multi_label=True):
                       max_det, multi_label, fallback="cond")
 
 
-def _zero_carry(net: YoloV5, batch: int, size: int, dtype=None):
+def _zero_carry(net: YoloV5, batch: int, size: int, dtype=None, raw=None):
     """A zero previous-batch carry for priming _detect_pipe_step.
 
     The carry holds predict()'s three components (same shapes fused or
-    unfused); zeros are a consistent instance (score 0 -> no candidates).
-    dtype must match the
-    serving dtype passed to the step: predict emits best/conf in that dtype
-    (boxes stay f32), and a mismatched zero carry would recompile the step
-    on its second invocation — mid-loop, if the caller timed only one
-    warmup step.
+    unfused) — or, under the raw tail, predict_raw's five plus a zero-bias
+    geometry (raw=None reads the module RAW_TAIL flag; pass raw=False
+    explicitly when serving q8, which keeps the decoded path). Zeros are a
+    consistent instance (score 0 -> no candidates). dtype must match the
+    serving dtype passed to the step: predict emits scores in that dtype
+    (and the raw tail its xy/wh too; decoded boxes stay f32), and a
+    mismatched zero carry would recompile the step on its second
+    invocation — mid-loop, if the caller timed only one warmup step.
     """
+    if raw is None:
+        raw = RAW_TAIL
     n = sum((size // s) ** 2 * net.na for s in STRIDES)
     sdt = jnp.float32 if dtype is None else dtype
-    return (
-        (
+    if raw:
+        pred = (
+            jnp.zeros((batch, n), sdt),
+            jnp.zeros((batch, n), sdt),
+            jnp.zeros((batch, n, 2), sdt),
+            jnp.zeros((batch, n, 2), sdt),
+            jnp.zeros((batch, n, net.num_classes), sdt),
+            net.raw_geometry(None),
+        )
+    else:
+        pred = (
             jnp.zeros((batch, n), sdt),
             jnp.zeros((batch, n, 4), jnp.float32),
             jnp.zeros((batch, n, net.num_classes), sdt),
-        ),
+        )
+    return (
+        pred,
         jnp.zeros((batch, 3), jnp.float32).at[:, 0].set(1.0),
         jnp.ones((batch, 2), jnp.float32),
     )
@@ -398,7 +440,9 @@ def run_detection(
         # with the exact program host-side (the in-program lax.cond fallback
         # costs ~8 ms/batch even when never taken — tools/exp_tail4.py).
         carry = jax.tree_util.tree_map(
-            place, _zero_carry(net, batch_size, size, dtype)
+            place,
+            _zero_carry(net, batch_size, size, dtype,
+                        raw=RAW_TAIL and q8 is None),
         )
         pending = None  # chunk whose detections are still on device
 

@@ -455,6 +455,98 @@ class YoloV5:
             jnp.concatenate(clss, 1),
         )
 
+    def raw_geometry(self, params=None):
+        """Constants for the raw-logit serving tail (ops/nms_raw.py):
+        (starts (L+1,) i32 cumulative row offsets, widths (L,) i32,
+        strides (L,) f32, table (L*na, 6) f32 rows
+        [bias_x, bias_y, bias_w, bias_h, anchor_w, anchor_h]).
+
+        The xy/wh head biases ride here (f32, straight from params — so
+        checkpoint loads keep decode parity) instead of being added
+        full-matrix: predict_raw emits the raw conv outputs and the bias is
+        applied per gathered row, bit-identically (predict casts the conv
+        output to f32 BEFORE adding the f32 bias, so deferring the add
+        changes nothing). params=None builds a zero-bias table — only valid
+        for zero carries (models/infer._zero_carry), where no candidate is
+        ever real."""
+        na, no = self.na, self.no
+        starts, widths, strides, rows = [0], [], [], []
+        for li, (stride, anchors) in enumerate(zip(STRIDES, self.anchors)):
+            hw = self.img_size // stride
+            starts.append(starts[-1] + hw * hw * na)
+            widths.append(hw)
+            strides.append(float(stride))
+            if params is None:
+                bias = jnp.zeros((na, 4), jnp.float32)
+            else:
+                bias = params["detect"][li]["b"].reshape(na, no)[:, 0:4]
+                bias = bias.astype(jnp.float32)
+            anc = jnp.asarray(anchors, jnp.float32).reshape(na, 2)
+            rows.append(jnp.concatenate([bias, anc], axis=1))
+        return (
+            jnp.asarray(starts, jnp.int32),
+            jnp.asarray(widths, jnp.int32),
+            jnp.asarray(strides, jnp.float32),
+            jnp.concatenate(rows, 0),
+        )
+
+    def predict_raw(self, params, stats, x, *, dtype=None):
+        """Raw-logit serving path: trunk + split head convs, NO full-matrix
+        sigmoid/decode. Returns
+
+            (score (B, N), obj (B, N), xy_raw (B, N, 2), wh_raw (B, N, 2),
+             cls_raw (B, N, nc)),
+
+        same row order as predict. obj is sigmoid(h_obj); cls_raw keeps raw
+        logits (bias applied — the row max needs it); xy_raw/wh_raw are the
+        raw conv outputs WITHOUT bias (it lives in raw_geometry and is added
+        per gathered row, in f32, exactly as predict adds it full-matrix).
+        score = sigmoid(max_c cls_raw) * obj is bit-equal to the decoded
+        path's max_c(sigmoid(cls)) * sigmoid(obj): sigmoid is monotone and
+        rounding preserves order, so the max commutes with the rounded
+        sigmoid. The NMS tail (ops/nms_raw.nms_split_batch_raw) applies
+        sigmoid/decode to the gathered rows only; detections are
+        bit-identical to predict + nms_split_batch for both the f32 and the
+        bf16 serving modes (tests/test_nms_raw.py).
+
+        TPU rationale: the full (B, N, nc) sigmoid and the (B, N, 4) f32
+        box decode are the serving trunk's epilogue bandwidth (the tail
+        reads only PAIR_G rows/image), and raw bf16 xy/wh make the whole
+        row gather a single lossless one-hot MXU matmul (nms_raw
+        _gather_rows_raw) where decoded f32 boxes forced narrow gathers."""
+        hdtype = jnp.float32 if dtype is None else dtype
+        if dtype is not None:
+            cast = lambda t: jax.tree_util.tree_map(
+                lambda a: a.astype(dtype)
+                if getattr(a, "dtype", None) == jnp.float32 else a, t)
+            params_t = dict(cast(params), detect=params["detect"])
+            feats, _, _ = self._trunk(
+                params_t, cast(stats), x.astype(dtype), False
+            )
+        else:
+            feats, _, _ = self._trunk(params, stats, x, False)
+        na, no, nc = self.na, self.no, self.num_classes
+        scores, objs, xys, whs, clss = [], [], [], [], []
+        for f, p in zip(feats, params["detect"]):
+            w = p["w"].reshape(1, 1, -1, na, no).astype(hdtype)
+            bias = p["b"].reshape(na, no).astype(hdtype)
+            b_, hh, ww = f.shape[:3]
+            h_obj = conv2d(f, w[..., 4], 1) + bias[:, 4]
+            h_cls = conv2d(f, w[..., 5:].reshape(1, 1, -1, na * nc), 1) \
+                + bias[:, 5:].reshape(-1)
+            h_xy = conv2d(f, w[..., 0:2].reshape(1, 1, -1, na * 2), 1)
+            h_wh = conv2d(f, w[..., 2:4].reshape(1, 1, -1, na * 2), 1)
+            o = jax.nn.sigmoid(h_obj).reshape(b_, -1)
+            cl = h_cls.reshape(b_, hh * ww * na, nc)
+            scores.append(jax.nn.sigmoid(jnp.max(cl, axis=-1)) * o)
+            objs.append(o)
+            xys.append(h_xy.reshape(b_, hh * ww * na, 2))
+            whs.append(h_wh.reshape(b_, hh * ww * na, 2))
+            clss.append(cl)
+        return tuple(
+            jnp.concatenate(v, 1) for v in (scores, objs, xys, whs, clss)
+        )
+
     def decode(self, heads):
         """Anchor decode: raw heads -> (B, total, no) with pixel xywh boxes.
 

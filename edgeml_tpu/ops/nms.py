@@ -530,7 +530,6 @@ def _select_pairs_fast(o, x, c, conf_thres, g_rows, t_rows, k, by_key,
     """
     n, nc = c.shape
     g = min(g_rows, n)
-    b1 = min(PAIR_B1, g)
     if fused:
         box_score = jnp.where(o > conf_thres, o, -1.0)
     else:
@@ -538,6 +537,23 @@ def _select_pairs_fast(o, x, c, conf_thres, g_rows, t_rows, k, by_key,
         box_score = jnp.where(
             (o > conf_thres) & (best > conf_thres), best, -1.0
         )
+    best_top, box_pre, hid_val = _prefilter_boxes(box_score, g, by_key)
+    xywh_pre, obj_pre, cls_rows = _gather_rows(
+        box_pre, x, None if fused else o, c
+    )
+    cls_conf = cls_rows if fused else cls_rows * obj_pre[:, None]
+    top_scores, row, col, ok = _pool_rank(
+        best_top, hid_val, cls_conf, conf_thres, t_rows, k, by_key
+    )
+    return top_scores, row, col, xywh_pre, ok
+
+
+def _prefilter_boxes(box_score, g, by_key):
+    """Top-g box prefilter by best-pair confidence (+ one extra row for the
+    hidden-row certificate). Returns (best_top (g,), box_pre (g,) int,
+    hid_val scalar or None). Shared by _select_pairs_fast and the raw-tail
+    variant (ops.nms_raw.select_pairs_raw)."""
+    n = box_score.shape[0]
     need = min(g + 1, n)  # one extra for the hidden-row certificate
     chunk = n if n <= 25600 else 10240
     if by_key:
@@ -546,11 +562,19 @@ def _select_pairs_fast(o, x, c, conf_thres, g_rows, t_rows, k, by_key,
     else:
         best_top, box_pre = topk1d(box_score, need, chunk=chunk)
     hid_val = best_top[g] if need > g else None
-    best_top, box_pre = best_top[:g], box_pre[:g]
-    xywh_pre, obj_pre, cls_rows = _gather_rows(
-        box_pre, x, None if fused else o, c
-    )
-    cls_conf = cls_rows if fused else cls_rows * obj_pre[:, None]
+    return best_top[:g], box_pre[:g], hid_val
+
+
+def _pool_rank(best_top, hid_val, cls_conf, conf_thres, t_rows, k, by_key):
+    """Two-tier pool ranking + exactness certificate over the g gathered
+    rows (the body of _select_pairs_fast after the row gather — see its
+    docstring for the tier layout, the certificate proof, and the keyed
+    tie handling). Factored out so ops.nms_raw.select_pairs_raw (raw-logit
+    rows, sigmoid applied post-gather) shares the exact same machinery.
+
+    Returns (top_scores (k,), row (k,), col (k,), ok scalar bool)."""
+    g, nc = cls_conf.shape
+    b1 = min(PAIR_B1, g)
     masked = jnp.where(
         (best_top[:, None] > 0) & (cls_conf > conf_thres), cls_conf, -1.0
     )
@@ -622,7 +646,7 @@ def _select_pairs_fast(o, x, c, conf_thres, g_rows, t_rows, k, by_key,
         )
         row = jnp.concatenate([row, jnp.zeros((pad,), row.dtype)])
         col = jnp.concatenate([col, jnp.zeros((pad,), col.dtype)])
-    return top_scores, row, col, xywh_pre, ok
+    return top_scores, row, col, ok
 
 
 @partial(

@@ -118,8 +118,9 @@ def main():
             )
             return (nxt, acc + d.sum(), nfail + (1 - ok.astype(jnp.int32)))
 
-        zero = (_zero_carry(net, b, 640, dt), jnp.zeros(()),
-                jnp.zeros((), jnp.int32))
+        # q8 serving keeps the decoded carry even under the raw-tail default
+        zero = (_zero_carry(net, b, 640, dt, raw=False if use_q8 else None),
+                jnp.zeros(()), jnp.zeros((), jnp.int32))
         t0 = time.perf_counter()
         carry = step(zero, 0)
         float(carry[1])
