@@ -221,7 +221,14 @@ def _emit_batch(cand_boxes, top_scores, cls_idx, iou_thres, max_det):
     kernel shards over images via its custom_partitioning rule."""
     k = top_scores.shape[-1]
     force = FORCE_FUSED_INTERPRET
-    if (jax.default_backend() != "cpu" or force) and k % 256 == 0 and k <= 2048:
+    # K cap 1024: K=2048 crashes the axon remote compiler (HTTP 500,
+    # tpu_compile_helper exit 1, ~3 s — a Mosaic front-end crash, measured
+    # round 4 at every tj in {64, 128, 256, 512}; earlier tj=256 failed the
+    # 16 MB scoped-vmem budget cleanly at 16.52 MB). K=2048 callers
+    # (SSDLite/RetinaNet postprocess, max_cand=2048) take the XLA fixpoint
+    # below — the exact same math, and the path their round-3 numbers came
+    # from. Revisit if the compiler service gets fixed.
+    if (jax.default_backend() != "cpu" or force) and k % 256 == 0 and k <= 1024:
         from .nms_fused import greedy_keep_mask_fused
 
         off = cand_boxes + cls_idx[..., None] * MAX_WH

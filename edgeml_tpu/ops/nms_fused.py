@@ -81,12 +81,13 @@ def _kernel(off_ref, offt_ref, valid_ref, out_ref, sup_ref, *, iou_thres, tj):
 def _pallas_call(off, offt, sc, iou_thres: float, interpret: bool):
     """The raw kernel launch on whatever (local) batch it is handed."""
     b, k, _ = off.shape
-    # Scoped VMEM budget is 16 MB: the sup scratch is k*k bf16 (8 MB at
-    # K=2048) and the tile-loop temporaries are ~4 live (tj, k) f32 arrays.
-    # tj=256 at K=2048 measured 16.52M scoped and failed to compile (the
-    # SSD B=16 f32 serving program, round 4); tj=128 keeps the stack ~4.3 MB
-    # and fits. K<=1024 keeps the measured-fast tj=256.
-    tj = 256 if k <= 1024 else 128
+    # K is capped at 1024 by the _emit_batch gate (ops/nms.py): K=2048
+    # crashes the axon remote compiler at EVERY tj in {64, 128, 256, 512}
+    # (HTTP 500 in ~3 s, round 4; before that, tj=256 exceeded the 16 MB
+    # scoped-vmem budget at 16.52 MB — sup scratch k*k bf16 + ~4 live
+    # (tj, k) f32 tile temporaries). tj=256 is the measured-fast tile at
+    # K<=1024.
+    tj = 256
     return pl.pallas_call(
         functools.partial(_kernel, iou_thres=float(iou_thres), tj=tj),
         grid=(b,),
@@ -156,7 +157,8 @@ def greedy_keep_mask_fused(boxes: jax.Array, scores: jax.Array,
     """Batched fused greedy-NMS survivor masks.
 
     :param boxes: (B, K, 4) xyxy (class offsets already applied), each image
-        sorted by DESCENDING score; K must be a multiple of 256.
+        sorted by DESCENDING score; K must be a multiple of 256 and <= 1024
+        (larger K crashes the axon remote compiler — see _pallas_call).
     :param scores: (B, K); entries <= 0 never participate.
     :param interpret: run the kernel in the Pallas interpreter (CPU tests).
     :return: (B, K) bool — identical to vmap(greedy_keep_mask).

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 
 import edgeml_tpu.ops.nms as nms_mod
 from edgeml_tpu.models.infer import _detect_pipe_step, _zero_carry
+from edgeml_tpu.ops.nms import nms_split_batch
 from edgeml_tpu.models.yolov5 import YoloV5, calibrate_bn
 from edgeml_tpu.utils.synth import hash_uniform
 
@@ -46,9 +47,13 @@ hw = jnp.tile(jnp.asarray([[640.0, 640.0]]), (B, 1))
 
 for g in GS:
     nms_mod.PAIR_G = g
-    # fresh jit wrapper: _detect_pipe_step is itself jitted, but its cache
-    # key includes only traced/static args — clear so the new G traces.
+    # fresh traces: PAIR_G is read at trace time by BOTH jit layers, and a
+    # nested jit's jaxpr is cached independently of the outer one — clearing
+    # only _detect_pipe_step silently reuses the previous G's nms trace
+    # (round 4: a 256/320/384/512 sweep measured G=256 four times, identical
+    # timings and 12/16 redos at every point).
     _detect_pipe_step.clear_cache()
+    nms_split_batch.clear_cache()
 
     @jax.jit
     def step(carry, seed):
