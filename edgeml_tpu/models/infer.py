@@ -34,15 +34,36 @@ OFF: measured v5e round 4 (tools/exp_confused.py, B=128, 16 chained iters):
 unfused 23.69 ms vs fused 24.25 bf16; 32.84 vs 33.97 f32 — the trunk-side
 full-matrix epilogue costs slightly more than the tail saves, both dtypes."""
 
-RAW_TAIL = False
+RAW_TAIL = "bf16"
 """Serving-tail mode, read at trace time (flip + clear_cache of
-_detect_batch/_detect_pipe_step). True routes YOLO serving through the
+_detect_batch/_detect_pipe_step). Routes YOLO serving through the
 raw-logit tail: predict_raw (no full-matrix sigmoid, no full f32 box
 decode) + ops/nms_raw.nms_split_batch_raw (sigmoid/decode applied per
 gathered row; in bf16 the whole row gather is one lossless one-hot MXU
-matmul). Detections are bit-identical either way (tests/test_nms_raw.py).
-Does not apply to int8 serving (q8 keeps the decoded path). Default OFF
-pending TPU measurement (tools/exp_rawserve.py)."""
+matmul). f32 detections are bit-identical either way; bf16 detections keep
+exact selection/scores/classes while box coordinates may drift at the
+~1e-6 (normalized) level — XLA's bf16 conv output rounding is CONSUMER-
+dependent (conv->astype(f32) vs conv consumed as bf16 can lower with
+different accumulation rounding), which is within the bf16 serving mode's
+documented no-exactness contract (tests/test_nms_raw.py pins both).
+Never applies to int8 serving (q8 keeps the decoded path).
+
+Values: "bf16" (default) — raw tail for the bf16 serving mode only;
+True — all dtypes (measurement tools); False — decoded tail everywhere.
+Measured v5e round 4 (tools/exp_rawserve.py, B=128 x16 production step):
+bf16 23.06 ms raw vs 25.57 decoded (+10.9%, 0 redos); f32 32.87 vs 32.46
+— a slight loss (the f32 path has no one-hot gather to feed, and the
+per-row decode overhead outweighs the saved transcendentals), so f32
+keeps the decoded tail."""
+
+
+def _use_raw(dtype, q8) -> bool:
+    """Trace-time raw-tail decision for a serving call (see RAW_TAIL)."""
+    if q8 is not None or not RAW_TAIL:
+        return False
+    if RAW_TAIL == "bf16":
+        return dtype is not None and jnp.dtype(dtype) == jnp.bfloat16
+    return True
 
 
 def _nms_unmap(pred, meta, orig_hw, conf_thres, iou_thres,
@@ -132,9 +153,9 @@ def _detect_batch(
 
         pred = q8_predict(net, q8, images, score_dtype=dtype,
                           fuse_conf=FUSE_CONF)
-    elif RAW_TAIL:
+    elif _use_raw(dtype, q8):
         pred = net.predict_raw(params, stats, images, dtype=dtype) \
-            + (net.raw_geometry(params),)
+            + (net.raw_geometry(params, dtype),)
     else:
         pred = net.predict(params, stats, images, dtype=dtype,
                            fuse_conf=FUSE_CONF)
@@ -180,9 +201,9 @@ def _detect_pipe_step(
 
         new = q8_predict(net, q8, images, score_dtype=dtype,
                          fuse_conf=FUSE_CONF)
-    elif RAW_TAIL:
+    elif _use_raw(dtype, q8):
         new = net.predict_raw(params, stats, images, dtype=dtype) \
-            + (net.raw_geometry(params),)
+            + (net.raw_geometry(params, dtype),)
     else:
         new = net.predict(params, stats, images, dtype=dtype,
                           fuse_conf=FUSE_CONF)
@@ -215,7 +236,7 @@ def _zero_carry(net: YoloV5, batch: int, size: int, dtype=None, raw=None):
     invocation — mid-loop, if the caller timed only one warmup step.
     """
     if raw is None:
-        raw = RAW_TAIL
+        raw = _use_raw(dtype, None)
     n = sum((size // s) ** 2 * net.na for s in STRIDES)
     sdt = jnp.float32 if dtype is None else dtype
     if raw:
@@ -442,7 +463,7 @@ def run_detection(
         carry = jax.tree_util.tree_map(
             place,
             _zero_carry(net, batch_size, size, dtype,
-                        raw=RAW_TAIL and q8 is None),
+                        raw=_use_raw(dtype, q8)),
         )
         pending = None  # chunk whose detections are still on device
 

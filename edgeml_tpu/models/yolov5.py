@@ -455,21 +455,25 @@ class YoloV5:
             jnp.concatenate(clss, 1),
         )
 
-    def raw_geometry(self, params=None):
+    def raw_geometry(self, params=None, dtype=None):
         """Constants for the raw-logit serving tail (ops/nms_raw.py):
         (starts (L+1,) i32 cumulative row offsets, widths (L,) i32,
         strides (L,) f32, table (L*na, 6) f32 rows
         [bias_x, bias_y, bias_w, bias_h, anchor_w, anchor_h]).
 
-        The xy/wh head biases ride here (f32, straight from params — so
-        checkpoint loads keep decode parity) instead of being added
-        full-matrix: predict_raw emits the raw conv outputs and the bias is
-        applied per gathered row, bit-identically (predict casts the conv
-        output to f32 BEFORE adding the f32 bias, so deferring the add
-        changes nothing). params=None builds a zero-bias table — only valid
-        for zero carries (models/infer._zero_carry), where no candidate is
-        ever real."""
+        The xy/wh head biases ride here instead of being added full-matrix:
+        predict_raw emits the raw conv outputs and the bias is applied per
+        gathered row, bit-identically — predict casts the conv output to
+        f32 BEFORE adding the bias, so deferring the add changes nothing.
+        dtype MUST be the serving dtype: predict rounds the bias through
+        that dtype first (`p["b"].astype(hdtype)` then the f32 upcast), so
+        the table carries the same rounding (a full-precision f32 bias here
+        measured ulp-level box drift vs the decoded bf16 path on trained
+        checkpoints — init xy/wh biases are zero and hide it).
+        params=None builds a zero-bias table — only valid for zero carries
+        (models/infer._zero_carry), where no candidate is ever real."""
         na, no = self.na, self.no
+        hdtype = jnp.float32 if dtype is None else dtype
         starts, widths, strides, rows = [0], [], [], []
         for li, (stride, anchors) in enumerate(zip(STRIDES, self.anchors)):
             hw = self.img_size // stride
@@ -479,8 +483,8 @@ class YoloV5:
             if params is None:
                 bias = jnp.zeros((na, 4), jnp.float32)
             else:
-                bias = params["detect"][li]["b"].reshape(na, no)[:, 0:4]
-                bias = bias.astype(jnp.float32)
+                bias = params["detect"][li]["b"].reshape(na, no)
+                bias = bias.astype(hdtype)[:, 0:4].astype(jnp.float32)
             anc = jnp.asarray(anchors, jnp.float32).reshape(na, 2)
             rows.append(jnp.concatenate([bias, anc], axis=1))
         return (

@@ -8,10 +8,16 @@ and rounding preserves order, so max_c round(sigmoid(l_c)) ==
 round(sigmoid(max_c l_c)) — which means every ranking and gating decision
 can run on raw logits plus per-ROW reductions, deferring the
 transcendentals and the f32 box decode to the g gathered rows
-(g*(nc+4) elements per image, ~nothing). Detections are bit-identical to
-the decoded path: the same ops are applied to the same values, just to far
-fewer of them (tests/test_nms_raw.py proves equality through the full
-batched entry points, both dtypes).
+(g*(nc+4) elements per image, ~nothing). f32 detections are bit-identical
+to the decoded path — the same ops applied to the same values, just to far
+fewer of them. bf16 detections keep exact selection/scores/classes, with
+box coordinates subject to ~1e-6 normalized drift: XLA's bf16 conv output
+rounding is consumer-dependent (a conv feeding astype(f32) and the same
+conv consumed as bf16 can lower with different accumulation rounding), so
+cross-PROGRAM bit-equality of bf16 box logits is not an XLA guarantee —
+within the bf16 serving mode's documented no-exactness contract.
+tests/test_nms_raw.py pins both contracts through the full batched entry
+points.
 
 TPU economics (CLAUDE.md cost model):
   * the serving step drops the full-matrix sigmoid over (B, N, nc) and the

@@ -1,12 +1,20 @@
 """Raw-logit serving tail (ops/nms_raw.py + YoloV5.predict_raw): the
-bit-identity contract vs the decoded path, end to end.
+identity contract vs the decoded path, end to end.
 
-The raw tail's whole claim is "same ops on the same values, applied to
-fewer of them" — so every test here asserts EXACT equality (not closeness)
-against the decoded path, for both serving dtypes, through every entry
-point: decode_full materialization, the batched NMS (flag and cond
-fallbacks, certificate flags included), the forced-fallback regime, and
-the full run_detection pipeline with its zero carry and flush step."""
+Contract (see ops/nms_raw.py module docstring):
+  * f32 serving: EXACT bit-equality everywhere.
+  * bf16 serving: exact selection — valid masks, certificate flags, class
+    ids and confidences bit-equal — while box COORDINATES may drift at the
+    ~1e-6 normalized level: XLA's bf16 conv output rounding is consumer-
+    dependent (conv -> astype(f32) vs conv consumed as bf16 can lower with
+    different accumulation rounding), so cross-program bit-equality of the
+    raw xy/wh logits is not an XLA guarantee. That drift is within the
+    bf16 serving mode's documented no-exactness contract vs f32.
+
+The fixture perturbs detect weights AND biases away from init: zero init
+xy/wh biases HID a real bug (raw_geometry carried full-precision f32
+biases while predict rounds them through the serving dtype first), and
+init-scale weights hid the consumer-dependent conv rounding drift."""
 
 import os
 
@@ -22,12 +30,23 @@ from edgeml_tpu.ops.nms import nms_split_batch
 from edgeml_tpu.ops.nms_raw import decode_full, nms_split_batch_raw
 
 IMG = 64
+# bf16 box-coordinate drift bounds (see module docstring): observed ~3e-6
+# normalized / ~1e-4 px; the raw_geometry bias-rounding bug measured 1.7e-5
+# normalized / 1.1e-3 px, an order of magnitude above these bounds.
+ATOL_NORM = 1e-5
+ATOL_PX = 5e-4
 
 
 @pytest.fixture(scope="module")
 def small_net():
     net = YoloV5(variant="n", num_classes=80, img_size=IMG)
     params, stats = net.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(7)
+    for p in params["detect"]:
+        p["b"] = p["b"] + jnp.asarray(
+            rng.normal(0, 0.2, p["b"].shape).astype(np.float32))
+        p["w"] = p["w"] + jnp.asarray(
+            rng.normal(0, 0.02, p["w"].shape).astype(np.float32))
     return net, params, stats
 
 
@@ -36,20 +55,37 @@ def _images(b=4, seed=5):
     return jnp.asarray(rng.random((b, IMG, IMG, 3), np.float32))
 
 
+def assert_dets_match(raw_out, dec_out, dtype, atol=ATOL_NORM):
+    """dets rows are [cls, x, y, w, h, conf]: cls/conf always bit-equal,
+    coordinates exact for f32 and within the drift bound for bf16."""
+    r, d = np.asarray(raw_out), np.asarray(dec_out)
+    if dtype is None:
+        np.testing.assert_array_equal(r, d)
+        return
+    np.testing.assert_array_equal(r[..., 0], d[..., 0])  # class ids
+    np.testing.assert_array_equal(r[..., 5], d[..., 5])  # confidences
+    np.testing.assert_allclose(r[..., 1:5], d[..., 1:5], rtol=0, atol=atol)
+
+
 @pytest.mark.parametrize("dtype", [None, jnp.bfloat16])
 def test_decode_full_matches_predict(small_net, dtype):
-    """decode_full(geo, predict_raw(x)) == predict(x) bitwise: the raw path
-    defers sigmoid/bias/decode but must reproduce the decoded view exactly
-    (same casts, same op order — yolov5.predict_raw docstring)."""
+    """decode_full(geo, predict_raw(x)) == predict(x): exact for f32;
+    for bf16 the scores (obj/cls/best) are exact and the pixel boxes are
+    within the conv-rounding drift bound."""
     net, params, stats = small_net
     imgs = _images()
     raw = net.predict_raw(params, stats, imgs, dtype=dtype)
-    geo = net.raw_geometry(params)
+    geo = net.raw_geometry(params, dtype)
     obj_r, xywh_r, cls_r = decode_full(geo, raw)
     obj, xywh, cls = net.predict(params, stats, imgs, dtype=dtype)
     np.testing.assert_array_equal(np.asarray(obj_r), np.asarray(obj))
-    np.testing.assert_array_equal(np.asarray(xywh_r), np.asarray(xywh))
     np.testing.assert_array_equal(np.asarray(cls_r), np.asarray(cls))
+    if dtype is None:
+        np.testing.assert_array_equal(np.asarray(xywh_r), np.asarray(xywh))
+    else:
+        np.testing.assert_allclose(
+            np.asarray(xywh_r), np.asarray(xywh), rtol=0, atol=ATOL_PX
+        )
     # the trunk-side score is the decoded path's best-pair confidence
     best = jnp.max(cls, axis=-1) * obj
     np.testing.assert_array_equal(np.asarray(raw[0]), np.asarray(best))
@@ -61,15 +97,15 @@ def test_nms_raw_matches_decoded(small_net, dtype, fallback):
     net, params, stats = small_net
     imgs = _images()
     raw = net.predict_raw(params, stats, imgs, dtype=dtype)
-    geo = net.raw_geometry(params)
+    geo = net.raw_geometry(params, dtype)
     dec = net.predict(params, stats, imgs, dtype=dtype)
     kw = dict(conf_thres=1e-4, iou_thres=0.5, max_det=64, max_cand=256)
     out_r = nms_split_batch_raw(*raw, geo, fallback=fallback, **kw)
     out_d = nms_split_batch(*dec, fallback=fallback, **kw)
-    np.testing.assert_array_equal(np.asarray(out_r[0]), np.asarray(out_d[0]))
     np.testing.assert_array_equal(np.asarray(out_r[1]), np.asarray(out_d[1]))
+    assert_dets_match(out_r[0], out_d[0], dtype, atol=ATOL_PX)  # pixel dets
     if fallback == "flag":
-        # the exactness certificates see identical values -> identical flag
+        # the exactness certificates see identical score values -> same flag
         assert bool(out_r[2]) == bool(out_d[2])
     assert np.asarray(out_r[1]).any(), "degenerate case: no detections"
 
@@ -81,13 +117,12 @@ def test_nms_raw_forced_fallback_regime(small_net, dtype):
     land in the same exact ranking, and whenever the certificate claims
     exactness the fast result must actually equal the pool=False exact one
     (soundness). In the f32/value-ranked regime the strict hidden-row rule
-    provably fails here (random-init outputs spread the top pairs over ~14
-    boxes); in the bf16/keyed regime the tie-tolerant rule can legitimately
-    hold — the soundness check is the meaningful assertion there."""
+    provably fails here; in the bf16/keyed regime the tie-tolerant rule can
+    legitimately hold — the soundness check is the meaningful assertion."""
     net, params, stats = small_net
     imgs = _images(seed=11)
     raw = net.predict_raw(params, stats, imgs, dtype=dtype)
-    geo = net.raw_geometry(params)
+    geo = net.raw_geometry(params, dtype)
     dec = net.predict(params, stats, imgs, dtype=dtype)
     kw = dict(conf_thres=1e-4, iou_thres=0.5, max_det=32, max_cand=128)
     saved = nms_mod.PAIR_G, nms_mod.PAIR_B1, nms_mod.PAIR_T
@@ -102,18 +137,17 @@ def test_nms_raw_forced_fallback_regime(small_net, dtype):
             assert not bool(ok_r), "starved f32 certificate must fail"
         exact = nms_split_batch(*dec, fallback="cond", pool=False, **kw)
         if bool(ok_r):  # certificate soundness: claimed exact -> IS exact
-            np.testing.assert_array_equal(np.asarray(d_r),
-                                          np.asarray(exact[0]))
             np.testing.assert_array_equal(np.asarray(v_r),
                                           np.asarray(exact[1]))
+            assert_dets_match(d_r, exact[0], dtype, atol=ATOL_PX)
         c_r = nms_split_batch_raw(*raw, geo, fallback="cond", **kw)
         c_d = nms_split_batch(*dec, fallback="cond", **kw)
     finally:
         nms_mod.PAIR_G, nms_mod.PAIR_B1, nms_mod.PAIR_T = saved
         nms_split_batch.clear_cache()
         nms_split_batch_raw.clear_cache()
-    np.testing.assert_array_equal(np.asarray(c_r[0]), np.asarray(c_d[0]))
     np.testing.assert_array_equal(np.asarray(c_r[1]), np.asarray(c_d[1]))
+    assert_dets_match(c_r[0], c_d[0], dtype, atol=ATOL_PX)
     np.testing.assert_array_equal(np.asarray(c_d[0]), np.asarray(exact[0]))
 
 
@@ -121,7 +155,7 @@ def test_nms_raw_forced_fallback_regime(small_net, dtype):
 def test_run_detection_raw_tail_files_equal(small_net, tmp_path, dtype):
     """Full serving pipeline (run_detection: pipelined steps, zero carry,
     flush, letterbox unmap, host redo protocol) with RAW_TAIL on vs off:
-    per-image output files bit-equal."""
+    per-image output files equal under the dtype's contract."""
     from edgeml_tpu.models import infer as infer_mod
     from edgeml_tpu.models.infer import run_detection
 
@@ -137,25 +171,30 @@ def test_run_detection_raw_tail_files_equal(small_net, tmp_path, dtype):
         infer_mod._detect_pipe_step.clear_cache()
         infer_mod._detect_batch.clear_cache()
 
-    assert not infer_mod.RAW_TAIL  # decoded tail is the current default
-    out_a = tmp_path / "decoded"
-    run_detection(net, params, stats, str(img_dir), str(out_a),
-                  batch_size=2, conf_thres=1e-3, iou_thres=0.5,
-                  img_size=IMG, dtype=dtype)
-    infer_mod.RAW_TAIL = True
-    clear()  # the flag is read at trace time
+    saved = infer_mod.RAW_TAIL
+    assert saved == "bf16"  # production default: raw tail for bf16 serving
     try:
+        infer_mod.RAW_TAIL = False
+        clear()  # the flag is read at trace time
+        out_a = tmp_path / "decoded"
+        run_detection(net, params, stats, str(img_dir), str(out_a),
+                      batch_size=2, conf_thres=1e-3, iou_thres=0.5,
+                      img_size=IMG, dtype=dtype)
+        infer_mod.RAW_TAIL = True
+        clear()
         out_b = tmp_path / "raw"
         run_detection(net, params, stats, str(img_dir), str(out_b),
                       batch_size=2, conf_thres=1e-3, iou_thres=0.5,
                       img_size=IMG, dtype=dtype)
     finally:
-        infer_mod.RAW_TAIL = False
+        infer_mod.RAW_TAIL = saved
         clear()
     for i in range(5):
         a = np.load(out_a / f"im{i}.npy")
         b = np.load(out_b / f"im{i}.npy")
-        np.testing.assert_array_equal(a, b)
+        assert a.shape == b.shape
+        if a.size:
+            assert_dets_match(b, a, dtype)
     assert any(
         np.load(out_a / f"im{i}.npy").size for i in range(5)
     ), "degenerate case: no detections anywhere"

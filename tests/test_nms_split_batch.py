@@ -315,7 +315,10 @@ def test_run_detection_bf16_onehot_gather_files_equal(tmp_path):
                 rng.random((50, 70, 3)).astype(np.float32))
 
     def clear():
+        from edgeml_tpu.ops.nms_raw import nms_split_batch_raw
+
         nms_split_batch.clear_cache()
+        nms_split_batch_raw.clear_cache()  # bf16 serving rides the raw tail
         infer_mod._detect_pipe_step.clear_cache()
         infer_mod._detect_batch.clear_cache()
 
