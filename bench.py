@@ -204,7 +204,14 @@ def run_yolo(variant=None, b=None, iters=None, int8=None):
         v5e — 15% of the serving step — which would bill RNG, not the
         detector, to the throughput number. Fresh per-iteration values
         still defeat relay-side result caching."""
-        return hash_uniform(seed, (b, 640, 640, 3))
+        x = hash_uniform(seed, (b, 640, 640, 3))
+        if os.environ.get("BENCH_YOLO_U8", "0") == "1":
+            # the uint8 deployment input interface (models/infer.py):
+            # quantize in-program — NOTE this understates the u8 win
+            # (in-jit generation can fuse); tools/exp_u8serve.py measures
+            # the honest arg-crossing version.
+            x = (x * 255.0).astype(jnp.uint8)
+        return x
 
     variants = [("f32", None, None), ("bf16", jnp.bfloat16, None)]
     if int8 is None:

@@ -475,3 +475,31 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
 
     native = detect_cli._native_payload(path)
     assert native is not None and "params" in native["model"]
+
+
+@pytest.mark.parametrize("dtype_name", ["f32", "bf16"])
+def test_uint8_input_interface_matches_f32(dtype_name):
+    """The uint8 deployment input (models/infer.py: device-side /255
+    normalization, the reference's cv2-letterbox-then-float convention)
+    produces detections identical to feeding the host-normalized f32
+    batch — bit-equal: the same f32 division runs either way."""
+    import jax
+    import jax.numpy as jnp
+
+    from edgeml_tpu.models.infer import _detect_batch
+    from edgeml_tpu.models.yolov5 import YoloV5
+
+    dtype = None if dtype_name == "f32" else jnp.bfloat16
+    net = YoloV5(variant="n", num_classes=80, img_size=64)
+    params, stats = net.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(4)
+    u8 = jnp.asarray(rng.integers(0, 256, (4, 64, 64, 3), np.uint8))
+    f32 = u8.astype(jnp.float32) / 255.0
+    meta = jnp.tile(jnp.asarray([[1.0, 0.0, 0.0]]), (4, 1))
+    hw = jnp.tile(jnp.asarray([[64.0, 64.0]]), (4, 1))
+    d_u8, v_u8 = _detect_batch(net, params, stats, u8, meta, hw, 1e-3, 0.5,
+                               dtype=dtype)
+    d_f, v_f = _detect_batch(net, params, stats, f32, meta, hw, 1e-3, 0.5,
+                             dtype=dtype)
+    np.testing.assert_array_equal(np.asarray(v_u8), np.asarray(v_f))
+    np.testing.assert_array_equal(np.asarray(d_u8), np.asarray(d_f))
