@@ -540,13 +540,20 @@ class YoloV5:
                 + bias[:, 5:].reshape(-1)
             h_xy = conv2d(f, w[..., 0:2].reshape(1, 1, -1, na * 2), 1)
             h_wh = conv2d(f, w[..., 2:4].reshape(1, 1, -1, na * 2), 1)
-            o = jax.nn.sigmoid(h_obj).reshape(b_, -1)
-            cl = h_cls.reshape(b_, hh * ww * na, nc)
-            scores.append(jax.nn.sigmoid(jnp.max(cl, axis=-1)) * o)
-            objs.append(o)
+            # Row max BEFORE the (b, HWna, nc) flatten: splitting the minor
+            # dim na*nc -> (na, nc) is layout-free, so the max + sigmoids
+            # stay fusable into the head-conv epilogue; reducing AFTER the
+            # hh*ww*na merge measured a ~2.8 ms/128-batch trunk penalty
+            # (exp_rawablate stage 0, r4e). Same values either way (the max
+            # runs over the same nc-groups; reshape order is immaterial).
+            cl4 = h_cls.reshape(b_, hh, ww, na, nc)
+            o4 = jax.nn.sigmoid(h_obj)  # (b, hh, ww, na)
+            sc4 = jax.nn.sigmoid(jnp.max(cl4, axis=-1)) * o4
+            scores.append(sc4.reshape(b_, -1))
+            objs.append(o4.reshape(b_, -1))
             xys.append(h_xy.reshape(b_, hh * ww * na, 2))
             whs.append(h_wh.reshape(b_, hh * ww * na, 2))
-            clss.append(cl)
+            clss.append(cl4.reshape(b_, hh * ww * na, nc))
         return tuple(
             jnp.concatenate(v, 1) for v in (scores, objs, xys, whs, clss)
         )

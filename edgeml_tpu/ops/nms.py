@@ -572,6 +572,14 @@ def _prefilter_boxes(box_score, g, by_key):
     return best_top[:g], box_pre[:g], hid_val
 
 
+POOL_TOPK_CHUNK = None
+"""If set (int), route _pool_rank's pool ranking through the exact chunked
+topk1d instead of one lax.top_k — XLA's TopK has shape cliffs at k=1024
+(CLAUDE.md); exp_rawablate r4e measured the pool-rank stage at +3.6 ms per
+128-batch, making the (14336,) k=1024 TopK a suspect. Trace-time flag;
+None pending TPU measurement (tools/exp_pooltopk.py)."""
+
+
 def _pool_rank(best_top, hid_val, cls_conf, conf_thres, t_rows, k, by_key):
     """Two-tier pool ranking + exactness certificate over the g gathered
     rows (the body of _select_pairs_fast after the row gather — see its
@@ -599,7 +607,10 @@ def _pool_rank(best_top, hid_val, cls_conf, conf_thres, t_rows, k, by_key):
         pool_k = jnp.concatenate([keys[:b1].reshape(-1), v.reshape(-1)])
         pool_col = i.reshape(-1)  # tier-2 column lookup
     kk = min(k, pool_k.shape[0])
-    top_keys, sel = jax.lax.top_k(pool_k, kk)
+    if POOL_TOPK_CHUNK and pool_k.shape[0] > POOL_TOPK_CHUNK:
+        top_keys, sel = topk1d(pool_k, kk, chunk=POOL_TOPK_CHUNK)
+    else:
+        top_keys, sel = jax.lax.top_k(pool_k, kk)
     if full:
         row = sel // nc
         col = sel % nc

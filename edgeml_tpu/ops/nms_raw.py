@@ -110,15 +110,21 @@ def _gather_rows_raw(box_pre, obj_s, xy, wh, cls):
         oh = (box_pre[:, None] == jax.lax.iota(jnp.int32, n)[None, :]).astype(
             cls.dtype
         )
-        payload = jnp.concatenate([cls, obj_s[:, None], xy, wh], axis=1)
-        rows = jax.lax.dot_general(
-            oh, payload, (((1,), (0,)), ((), ())),
+        # Two matmuls sharing the fused one-hot: the big cls matrix streams
+        # DIRECTLY as an operand (no concat copy of its 4 MB/image), and the
+        # 5 narrow components ride a second tiny (N, 5) operand. A single
+        # concatenated (N, nc+5) payload would write+read the cls bytes one
+        # extra time just to glue 5 columns on.
+        cls_rows = jax.lax.dot_general(
+            oh, cls, (((1,), (0,)), ((), ())),
             preferred_element_type=cls.dtype,
         )
-        return (
-            rows[:, :nc], rows[:, nc], rows[:, nc + 1 : nc + 3],
-            rows[:, nc + 3 : nc + 5],
+        small = jax.lax.dot_general(
+            oh, jnp.concatenate([obj_s[:, None], xy, wh], axis=1),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=cls.dtype,
         )
+        return cls_rows, small[:, 0], small[:, 1:3], small[:, 3:5]
     return cls[box_pre], obj_s[box_pre], xy[box_pre], wh[box_pre]
 
 

@@ -398,3 +398,29 @@ def test_conf_fused_single_label():
     d, v = nms_split_batch(best, xywh_f, conf, conf_fused=True, **kw)
     np.testing.assert_array_equal(np.asarray(v), np.asarray(v_ref))
     np.testing.assert_array_equal(np.asarray(d), np.asarray(d_ref))
+
+
+def test_pool_topk_chunked_matches_default():
+    """POOL_TOPK_CHUNK routes the pool ranking through the exact chunked
+    topk1d — results must be identical to the lax.top_k path (keyed bf16
+    ranking is tie-proof, so even tie order is pinned)."""
+    from edgeml_tpu.ops import nms as nms_mod
+
+    rng = np.random.default_rng(23)
+    obj, xywh, cls = make_case(rng, 3, 900, 80)
+    obj16, cls16 = obj.astype(jnp.bfloat16), cls.astype(jnp.bfloat16)
+    kw = dict(conf_thres=1e-4, iou_thres=0.6, max_det=64, max_cand=256)
+    assert nms_mod.POOL_TOPK_CHUNK is None
+    d_ref, v_ref, ok_ref = nms_split_batch(
+        obj16, xywh, cls16, fallback="flag", **kw
+    )
+    nms_mod.POOL_TOPK_CHUNK = 1024
+    nms_split_batch.clear_cache()  # trace-time flag
+    try:
+        d, v, ok = nms_split_batch(obj16, xywh, cls16, fallback="flag", **kw)
+    finally:
+        nms_mod.POOL_TOPK_CHUNK = None
+        nms_split_batch.clear_cache()
+    assert bool(ok) == bool(ok_ref)
+    np.testing.assert_array_equal(np.asarray(v), np.asarray(v_ref))
+    np.testing.assert_array_equal(np.asarray(d), np.asarray(d_ref))

@@ -126,10 +126,13 @@ def trunk_only(acc, seed):
     return acc + raw[0].astype(jnp.float32).sum() * 1e-9
 
 
-# tail-only: fixed pred computed once outside; every launch still differs
-# (acc chains, seed enters the sum) so nothing can be relay-cached.
-PRED = tuple(jax.device_put(x) for x in
-             net.predict_raw(params, stats, images(0), dtype=DT)) + (geo,)
+# tail-only: fixed pred computed once outside (JITTED — eager op-by-op on
+# axon pads intermediates pathologically: a plain hash_uniform reshape
+# tried a 26.8 GB allocation, r4e); every launch still differs (acc
+# chains, seed enters the sum) so nothing can be relay-cached.
+PRED = tuple(jax.jit(
+    lambda: net.predict_raw(params, stats, images(0), dtype=DT)
+)()) + (geo,)
 
 
 def tail_only(acc, seed):
