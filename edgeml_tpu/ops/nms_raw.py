@@ -92,13 +92,25 @@ def decode_full(geo, raw):
     return obj_s, xywh, jax.nn.sigmoid(cls_raw)
 
 
+RAW_GATHER = "concat"
+"""bf16 one-hot gather layout, read at trace time (results identical):
+  "concat"  one matmul over the concatenated (N, nc+5) payload;
+  "split"   two matmuls sharing the one-hot (cls streams directly, the 5
+            narrow columns ride a tiny second operand) — r4f measured it
+            ~1.2 ms/128-batch WORSE than concat (the one-hot apparently
+            materializes once per matmul instead of fusing twice);
+  "narrow"  one-hot matmul for cls only; obj/xy/wh take narrow dynamic
+            gathers (5 elements/row).
+A/B: tools/exp_rawgather.py."""
+
+
 def _gather_rows_raw(box_pre, obj_s, xy, wh, cls):
-    """Gather the prefiltered boxes' raw rows. bf16: ONE one-hot MXU matmul
-    over the concatenated (N, nc+5) payload — every component is bf16, so
-    DEFAULT-precision operand rounding is a lossless pass-through (single
-    nonzero per one-hot row; f32 accumulate of one product). f32 keeps
-    narrow dynamic gathers (matmul rounding would corrupt f32 payloads —
-    CLAUDE.md). Returns (cls_g (g, nc), obj_g (g,), xy_g (g, 2), wh_g)."""
+    """Gather the prefiltered boxes' raw rows. bf16: one-hot MXU matmul(s)
+    — every component is bf16, so DEFAULT-precision operand rounding is a
+    lossless pass-through (single nonzero per one-hot row; f32 accumulate
+    of one product); layout per RAW_GATHER. f32 keeps narrow dynamic
+    gathers (matmul rounding would corrupt f32 payloads — CLAUDE.md).
+    Returns (cls_g (g, nc), obj_g (g,), xy_g (g, 2), wh_g (g, 2))."""
     if (
         _nms._GATHER_ONEHOT
         and cls.dtype == jnp.bfloat16
@@ -110,21 +122,24 @@ def _gather_rows_raw(box_pre, obj_s, xy, wh, cls):
         oh = (box_pre[:, None] == jax.lax.iota(jnp.int32, n)[None, :]).astype(
             cls.dtype
         )
-        # Two matmuls sharing the fused one-hot: the big cls matrix streams
-        # DIRECTLY as an operand (no concat copy of its 4 MB/image), and the
-        # 5 narrow components ride a second tiny (N, 5) operand. A single
-        # concatenated (N, nc+5) payload would write+read the cls bytes one
-        # extra time just to glue 5 columns on.
-        cls_rows = jax.lax.dot_general(
-            oh, cls, (((1,), (0,)), ((), ())),
-            preferred_element_type=cls.dtype,
-        )
-        small = jax.lax.dot_general(
-            oh, jnp.concatenate([obj_s[:, None], xy, wh], axis=1),
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=cls.dtype,
-        )
-        return cls_rows, small[:, 0], small[:, 1:3], small[:, 3:5]
+
+        def mm(mat):
+            return jax.lax.dot_general(
+                oh, mat, (((1,), (0,)), ((), ())),
+                preferred_element_type=cls.dtype,
+            )
+
+        if RAW_GATHER == "concat":
+            rows = mm(jnp.concatenate([cls, obj_s[:, None], xy, wh], axis=1))
+            return (
+                rows[:, :nc], rows[:, nc], rows[:, nc + 1 : nc + 3],
+                rows[:, nc + 3 : nc + 5],
+            )
+        if RAW_GATHER == "split":
+            small = mm(jnp.concatenate([obj_s[:, None], xy, wh], axis=1))
+            return mm(cls), small[:, 0], small[:, 1:3], small[:, 3:5]
+        assert RAW_GATHER == "narrow", RAW_GATHER
+        return mm(cls), obj_s[box_pre], xy[box_pre], wh[box_pre]
     return cls[box_pre], obj_s[box_pre], xy[box_pre], wh[box_pre]
 
 

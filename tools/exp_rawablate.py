@@ -51,15 +51,15 @@ def images(seed):
     return hash_uniform(seed, (B, 640, 640, 3))
 
 
-def run(tag, fn):
+def run(tag, fn, extra=()):
     step = jax.jit(fn)
     t0 = time.perf_counter()
-    float(step(jnp.zeros(()), 0))
+    float(step(jnp.zeros(()), 0, *extra))
     print(f"{tag}: warmup {time.perf_counter() - t0:.1f}s", flush=True)
     t0 = time.perf_counter()
     acc = jnp.zeros(())
     for i in range(ITERS):
-        acc = step(acc, 1 + i)
+        acc = step(acc, 1 + i, *extra)
     float(acc)
     ms = (time.perf_counter() - t0) / ITERS * 1e3
     print(f"{tag}: {ms:8.2f} ms/batch  {B / ms * 1e3:7.1f} img/s", flush=True)
@@ -128,15 +128,16 @@ def trunk_only(acc, seed):
 
 # tail-only: fixed pred computed once outside (JITTED — eager op-by-op on
 # axon pads intermediates pathologically: a plain hash_uniform reshape
-# tried a 26.8 GB allocation, r4e); every launch still differs (acc
-# chains, seed enters the sum) so nothing can be relay-cached.
+# tried a 26.8 GB allocation, r4e) and passed as ARGS — closing over the
+# 516 MB arrays bakes them into the HLO upload (HTTP 413, r4f). Every
+# launch still differs (acc chains, seed enters the sum): no relay cache.
 PRED = tuple(jax.jit(
     lambda: net.predict_raw(params, stats, images(0), dtype=DT)
 )()) + (geo,)
 
 
-def tail_only(acc, seed):
-    d, v, ok = _nms_unmap(PRED, meta, hw, CONF + 0.0, IOU, 300, True,
+def tail_only(acc, seed, pred):
+    d, v, ok = _nms_unmap(pred, meta, hw, CONF + 0.0, IOU, 300, True,
                           fallback="flag")
     return acc + d.sum() * 1e-9 + v.sum() * 1e-9 + seed * 1e-12
 
@@ -150,7 +151,7 @@ def pipe(acc_and_prev, seed):
 
 
 t_trunk = run("trunk-only", trunk_only)
-t_tail = run("tail-only", tail_only)
+t_tail = run("tail-only", tail_only, extra=(PRED,))
 
 stepf = jax.jit(pipe)
 carry = (_zero_carry(net, B, 640, DT), jnp.zeros(()))

@@ -1,0 +1,90 @@
+"""Raw-tail one-hot gather layout A/B (nms_raw.RAW_GATHER) on the
+cumulative stage-2 pipeline (trunk + prefilter + gather + row decode) AND
+the full production step.
+
+    python tools/exp_rawgather.py [B] [iters] [variants...]
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+
+from edgeml_tpu.models.infer import _detect_pipe_step, _zero_carry
+from edgeml_tpu.models.yolov5 import YoloV5, calibrate_bn
+from edgeml_tpu.ops import nms as nms_mod
+from edgeml_tpu.ops import nms_raw
+from edgeml_tpu.utils.synth import hash_uniform
+
+B = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+ITERS = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+VARIANTS = sys.argv[3:] or ["concat", "split", "narrow"]
+DT = jnp.bfloat16
+CONF, IOU = 1e-5, 0.6
+
+net = YoloV5(variant="n", num_classes=80, img_size=640)
+params, stats = net.init(jax.random.PRNGKey(0))
+stats = calibrate_bn(
+    net, params, stats, lambda i: hash_uniform(9000 + i, (8, 640, 640, 3))
+)
+geo = net.raw_geometry(params, DT)
+meta = jnp.tile(jnp.asarray([[1.0, 0.0, 0.0]]), (B, 1))
+hw = jnp.tile(jnp.asarray([[640.0, 640.0]]), (B, 1))
+g = nms_mod.PAIR_G
+
+
+def time_step(tag, step, carry):
+    t0 = time.perf_counter()
+    carry2 = step(carry, 0)
+    float(carry2[-1] if isinstance(carry2, tuple) else carry2)
+    print(f"{tag}: warmup {time.perf_counter() - t0:.1f}s", flush=True)
+    t0 = time.perf_counter()
+    c = carry2
+    for i in range(ITERS):
+        c = step(c, 1 + i)
+    float(c[-1] if isinstance(c, tuple) else c)
+    ms = (time.perf_counter() - t0) / ITERS * 1e3
+    print(f"{tag}: {ms:8.2f} ms/batch  {B / ms * 1e3:7.1f} img/s", flush=True)
+
+
+for v in VARIANTS:
+    nms_raw.RAW_GATHER = v
+    _detect_pipe_step.clear_cache()
+    nms_raw.nms_split_batch_raw.clear_cache()
+
+    @jax.jit
+    def stage2(acc, seed):
+        raw = net.predict_raw(
+            params, stats, hash_uniform(seed, (B, 640, 640, 3)), dtype=DT)
+        score, obj_s, xy, wh, cls = raw
+        by_key = nms_mod._use_keys(cls, score.shape[1], 1024)
+
+        def one(s1, o1, xy1, wh1, c1):
+            box_score = jnp.where((o1 > CONF) & (s1 > CONF), s1, -1.0)
+            best_top, box_pre, hid = nms_mod._prefilter_boxes(
+                box_score, g, by_key)
+            cls_g, obj_g, xy_g, wh_g = nms_raw._gather_rows_raw(
+                box_pre, o1, xy1, wh1, c1)
+            cls_conf = jax.nn.sigmoid(cls_g) * obj_g[:, None]
+            xywh_pre = nms_raw.decode_rows(geo, box_pre, xy_g, wh_g)
+            return cls_conf.astype(jnp.float32).sum() + xywh_pre.sum() * 1e-9
+
+        return acc + jnp.sum(jax.vmap(one)(score, obj_s, xy, wh, cls)) * 1e-6
+
+    time_step(f"{v} stage2", stage2, jnp.zeros(()))
+
+    @jax.jit
+    def full(carry, seed):
+        prev, acc = carry
+        nxt, d, _v, ok = _detect_pipe_step(
+            net, params, stats, prev, hash_uniform(seed, (B, 640, 640, 3)),
+            meta, hw, CONF, IOU, dtype=DT)
+        return (nxt, acc + d.sum() * 1e-9)
+
+    time_step(f"{v} full  ", full, (_zero_carry(net, B, 640, DT),
+                                    jnp.zeros(())))
+nms_raw.RAW_GATHER = "concat"
