@@ -459,8 +459,16 @@ def _rank_pairs_exact(o, x, c, conf_thres, max_cand, by_key, fused=False):
     return top_scores, xywh_pre[top_idx // nc], top_idx % nc
 
 
-PAIR_T = 16  # per-box class candidates for tail (non-head) boxes
-PAIR_B1 = 128  # head boxes whose FULL class rows enter the pool
+PAIR_T = 16  # per-box class candidates for tail boxes (when B1 < G)
+# Head boxes whose FULL class rows enter the pool. Default = PAIR_G: the
+# FULL pool — every gathered row contributes all nc pairs, the tier-2
+# per-row top_k disappears, and the in-pool certificate is trivially True
+# (only the hidden-row check remains). Measured v5e round 4
+# (tools/exp_poolfull.py, 128x12 raw tail): full pool 22.84 ms/batch vs
+# two-tier 23.50 (+2.9%), 0 redos — one (g*nc = 30,720) keyed top_k beats
+# the per-row (256, 80)->16 top_k + (14,336) top_k pair (XLA TopK cost is
+# shape-cliffy, not linear). Two-tier machinery kept for B1 < G configs.
+PAIR_B1 = 384
 # Boxes whose rows are gathered at all (tier 1 + tier 2). The row gather is
 # the tail's dominant serial cost (~9.3 ms of the 31 ms serving step at
 # G=512, tools/exp_ablate3.py stage 2), and only max 284 / mean 153 of the

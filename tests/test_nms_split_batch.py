@@ -68,15 +68,25 @@ def test_batch_matches_vmap_exact(b, n, nc, max_cand, hot):
 
 
 def test_certificate_fires_on_many_hot_boxes():
-    """More dominant boxes than the tier-1 width must trip the certificate
-    (otherwise the fallback case above proves nothing)."""
+    """In the TWO-TIER regime (b1 < g; the production default is the full
+    pool, but the tier machinery is kept for smaller-B1 configs): more
+    dominant boxes than the tier-1 width must trip the in-pool certificate
+    (otherwise the tier-2 fallback case above proves nothing)."""
+    from edgeml_tpu.ops import nms as nms_mod
+
     rng = np.random.default_rng(0)
     obj, xywh, cls = make_case(rng, 2, 600, 80, hot_boxes=200)
     kb = min(256, 600)
     k = min(256, kb * 80)
-    *_, ok = jax.vmap(
-        lambda o, x, c: _select_pairs_fast(o, x, c, 1e-4, 256, PAIR_T, k, False)
-    )(obj, xywh, cls)
+    saved = nms_mod.PAIR_B1
+    nms_mod.PAIR_B1 = 128  # two-tier: tier-2 rows contribute top-T only
+    try:
+        *_, ok = jax.vmap(
+            lambda o, x, c: _select_pairs_fast(
+                o, x, c, 1e-4, 256, PAIR_T, k, False)
+        )(obj, xywh, cls)
+    finally:
+        nms_mod.PAIR_B1 = saved
     assert not bool(jnp.all(ok))
 
 
@@ -251,10 +261,22 @@ def test_flag_mode_matches_cond_when_certificate_holds():
     np.testing.assert_array_equal(np.asarray(d), np.asarray(d_ref))
     np.testing.assert_array_equal(np.asarray(v), np.asarray(v_ref))
 
+    # A failing certificate needs the TWO-TIER regime (the full-pool
+    # default absorbs the tier-2-hidden construction — correctly: the fast
+    # path is exact there); pin b1 < g to exercise the redo protocol.
+    from edgeml_tpu.ops import nms as nms_mod
+
     obj, xywh, cls = make_case(rng, 2, 600, 80, hot_boxes=200)  # fails
-    _, _, ok = nms_split_batch(obj, xywh, cls, fallback="flag", **kw)
-    assert not bool(ok)
-    d2, v2 = nms_split_batch(obj, xywh, cls, **kw)  # the host redo
+    saved = nms_mod.PAIR_B1
+    nms_mod.PAIR_B1 = 128
+    nms_split_batch.clear_cache()
+    try:
+        _, _, ok = nms_split_batch(obj, xywh, cls, fallback="flag", **kw)
+        assert not bool(ok)
+        d2, v2 = nms_split_batch(obj, xywh, cls, **kw)  # the host redo
+    finally:
+        nms_mod.PAIR_B1 = saved
+        nms_split_batch.clear_cache()
     d_ref, v_ref = reference(obj, xywh, cls, **kw)
     np.testing.assert_array_equal(np.asarray(d2), np.asarray(d_ref))
     np.testing.assert_array_equal(np.asarray(v2), np.asarray(v_ref))
