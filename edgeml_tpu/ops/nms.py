@@ -43,20 +43,37 @@ def _iou_one_vs_many(box, boxes):
     return inter / jnp.maximum(a + b - inter, 1e-12)
 
 
+NMS_BLOCK = None
+"""Trace-time knob: block size for the blocked-greedy fixpoint in
+greedy_keep_mask (None = single global fixpoint). The global fixpoint
+re-reads the whole (K, K) suppression matrix every iteration, and its
+iteration count equals the longest suppression chain — on dense candidate
+sets (RPN proposals over an anchor grid at IoU 0.7) chains run into the
+hundreds, so the loop is HBM-bound on K^2 traffic times chain length.
+The blocked form decides candidates block-by-block in score order: each
+block pays ONE (block, K) matvec against the already-decided prefix, then
+a fixpoint confined to its (block, block) tile (VMEM-resident), so the
+full matrix is streamed exactly once. Bit-identical by the same
+uniqueness induction, per block."""
+
+
 def greedy_keep_mask(boxes: jax.Array, scores: jax.Array,
-                     iou_thres: float) -> jax.Array:
+                     iou_thres: float, block: int | None = None) -> jax.Array:
     """Exact greedy-NMS survivor mask via the fixpoint formulation.
 
     :param boxes: (K, 4) xyxy, sorted by DESCENDING score (the greedy visit
         order; ties must already be broken by position, as lax.top_k does).
     :param scores: (K,); entries <= 0 never participate.
     :param iou_thres: strictly-greater IoU suppresses.
+    :param block: blocked-greedy block size (default: the NMS_BLOCK knob).
     :return: (K,) bool — True where greedy NMS keeps the candidate.
 
     kept[i] <=> valid[i] and no kept j < i with iou > thres. The while_loop
     exits only at the fixpoint, which is unique (induction over i), so the
     result is bit-identical to the sequential pick-max loop. Convergence takes
     at most (longest suppression chain) iterations — each one a (K, K) matvec.
+    With a block size set, the same fixpoint runs per block against the
+    decided prefix (see NMS_BLOCK) — same unique result, one pass over sup.
     """
     k = scores.shape[0]
     # Split-coordinate IoU: every intermediate is a full (K, K) matrix with a
@@ -83,22 +100,70 @@ def greedy_keep_mask(boxes: jax.Array, scores: jax.Array,
     # so counts are exact integers.
     sup = ((iou > iou_thres) & (col < row)).astype(jnp.int8)  # [i, j]: j suppresses i
     valid = scores > 0.0
+    if block is None:
+        block = NMS_BLOCK
 
-    def cond(c):
-        _, changed = c
-        return changed
+    if not block or block >= k:
+        def cond(c):
+            _, changed = c
+            return changed
 
-    def body(c):
-        kept, _ = c
-        # MXU matvec: #kept suppressors of i, exact int32 counts
-        hit = jnp.matmul(
-            sup, kept.astype(jnp.int8), preferred_element_type=jnp.int32
+        def body(c):
+            kept, _ = c
+            # MXU matvec: #kept suppressors of i, exact int32 counts
+            hit = jnp.matmul(
+                sup, kept.astype(jnp.int8), preferred_element_type=jnp.int32
+            )
+            new = valid & (hit == 0)
+            return new, jnp.any(new != kept)
+
+        kept, _ = jax.lax.while_loop(cond, body, (valid, jnp.asarray(True)))
+        return kept
+
+    # Blocked greedy: stream sup once; fixpoints stay on (block, block) tiles.
+    pad = -k % block
+    if pad:
+        sup = jnp.pad(sup, ((0, pad), (0, pad)))
+        valid = jnp.pad(valid, (0, pad))
+    kp = k + pad
+    nb = kp // block
+    sup_rows = sup.reshape(nb, block, kp)
+    # in-block tiles, extracted at trace time (static offsets)
+    tiles = jnp.stack(
+        [sup_rows[t, :, t * block:(t + 1) * block] for t in range(nb)]
+    )  # (nb, block, block)
+
+    def step(kept, xs):
+        rows, tile, vb, t = xs  # (block, kp), (block, block), (block,), ()
+        # undecided (later-block) entries of kept are False, and in-block
+        # cols contribute 0 here too (kept[this block] is still False), so
+        # one matvec against the carry counts exactly the decided-prefix hits
+        hit_prev = jnp.matmul(
+            rows, kept.reshape(-1).astype(jnp.int8),
+            preferred_element_type=jnp.int32,
         )
-        new = valid & (hit == 0)
-        return new, jnp.any(new != kept)
+        free = vb & (hit_prev == 0)
 
-    kept, _ = jax.lax.while_loop(cond, body, (valid, jnp.asarray(True)))
-    return kept
+        def cond(c):
+            return c[1]
+
+        def body(c):
+            kb, _ = c
+            hit = jnp.matmul(
+                tile, kb.astype(jnp.int8), preferred_element_type=jnp.int32
+            )
+            new = free & (hit == 0)
+            return new, jnp.any(new != kb)
+
+        kb, _ = jax.lax.while_loop(cond, body, (free, jnp.asarray(True)))
+        return kept.at[t].set(kb), None
+
+    kept0 = jnp.zeros((nb, block), bool)
+    kept, _ = jax.lax.scan(
+        step, kept0,
+        (sup_rows, tiles, valid.reshape(nb, block), jnp.arange(nb)),
+    )
+    return kept.reshape(-1)[:k]
 
 
 def suppress_mask(boxes: jax.Array, scores: jax.Array,

@@ -86,6 +86,29 @@ def test_fixpoint_suppression_chain():
     assert np.allclose(got[:, 4], scores[picks], atol=1e-7)
 
 
+@pytest.mark.parametrize("seed", range(4))
+def test_blocked_greedy_matches_global_fixpoint(seed):
+    """The blocked-greedy formulation (ops/nms.py NMS_BLOCK) must be
+    bit-identical to the global fixpoint for every block size, including
+    non-dividing ones (padding path) and long suppression chains (dense
+    overlapping boxes)."""
+    from edgeml_tpu.ops.nms import greedy_keep_mask
+
+    rng = np.random.default_rng(200 + seed)
+    k = [64, 100, 256, 1000][seed]
+    c = rng.uniform(0, 100, (k, 2)).astype(np.float32)
+    wh = rng.uniform(5, 80, (k, 2)).astype(np.float32)
+    boxes = np.concatenate([c - wh / 2, c + wh / 2], 1)
+    scores = rng.uniform(0.0, 1.0, k).astype(np.float32)
+    scores[rng.random(k) < 0.1] = 0.0
+    order = np.argsort(-scores, kind="stable")
+    boxes, scores = jnp.asarray(boxes[order]), jnp.asarray(scores[order])
+    want = np.asarray(greedy_keep_mask(boxes, scores, 0.5))
+    for block in (32, 128, 256, 512):
+        got = np.asarray(greedy_keep_mask(boxes, scores, 0.5, block=block))
+        assert np.array_equal(want, got), block
+
+
 @pytest.mark.parametrize("seed", range(3))
 def test_suppress_mask_matches_pallas_oracle(seed):
     from edgeml_tpu.ops.nms import suppress_mask
