@@ -99,6 +99,22 @@ def _encode(gt, anchors, weights):
     )
 
 
+ROI_GATHER = "patch"
+"""RoIAlign gather layout (trace-time knob):
+  "corner" — four separate gathers (v00/v01/v10/v11), one 256-wide row per
+             bilinear corner: 4 * out^2 * sampling^2 gathered rows/proposal;
+  "patch"  — ONE lax.gather of (2, 2, C) patches at (y0, x0): same bytes,
+             16x fewer gathered rows and one index tensor instead of four.
+The shifted-corner weight algebra picks the same cells with the same
+weights (exact under sequential evaluation — verified against a NumPy
+replication), but XLA fuses the two graphs' multiply-adds differently, so
+compiled outputs agree to ~2 ulp (<=3e-7 observed), not bitwise. RoIAlign
+was 78% of the Faster R-CNN serving step (exp_rcnn r4j: +136.0 ms of
+174.8 at B=8): the corner form's gathered-ROW count, not its bytes, was
+the wall (25.7 GB touched is a 31 ms bandwidth bound). A/B lives in
+tools/exp_nmsblock.py's sibling exp_roialign.py."""
+
+
 def roi_align_fpn(feats, boxes, image_size: int, out: int = 7, sampling: int = 2,
                   chunk: int = 128):
     """Multi-scale RoIAlign: (N, 4) xyxy boxes -> (N, out, out, C).
@@ -164,19 +180,58 @@ def roi_align_fpn(feats, boxes, image_size: int, out: int = 7, sampling: int = 2
         x0 = jnp.floor(xc).astype(jnp.int32)
         hi = hl.astype(jnp.int32) - 1
         wi = wl.astype(jnp.int32) - 1
-        y1 = jnp.minimum(y0 + 1, hi)
-        x1 = jnp.minimum(x0 + 1, wi)
-        ly = (yc - y0)[:, :, None, None, None]  # (out, s, 1, 1, 1)
-        lx = (xc - x0)[None, None, :, :, None]  # (1, 1, out, s, 1)
-        v00 = pyr[ro + y0[:, :, None, None], x0[None, None]]  # (out,s,out,s,C)
-        v01 = pyr[ro + y0[:, :, None, None], x1[None, None]]
-        v10 = pyr[ro + y1[:, :, None, None], x0[None, None]]
-        v11 = pyr[ro + y1[:, :, None, None], x1[None, None]]
+        if ROI_GATHER == "corner":
+            y1 = jnp.minimum(y0 + 1, hi)
+            x1 = jnp.minimum(x0 + 1, wi)
+            ly = (yc - y0)[:, :, None, None, None]  # (out, s, 1, 1, 1)
+            lx = (xc - x0)[None, None, :, :, None]  # (1, 1, out, s, 1)
+            v00 = pyr[ro + y0[:, :, None, None], x0[None, None]]
+            v01 = pyr[ro + y0[:, :, None, None], x1[None, None]]
+            v10 = pyr[ro + y1[:, :, None, None], x0[None, None]]
+            v11 = pyr[ro + y1[:, :, None, None], x1[None, None]]
+            val = (
+                v00 * (1 - ly) * (1 - lx)
+                + v01 * (1 - ly) * lx
+                + v10 * ly * (1 - lx)
+                + v11 * ly * lx
+            )
+            return jnp.mean(val, axis=(1, 3))  # (out, out, C)
+        # "patch": one (2, 2, C) slice per sample point. Shifted-corner
+        # algebra: with y0' = min(y0, hi-1) and ly' = yc - y0', the pair
+        # (y0', y0'+1) with weights (1-ly', ly') selects exactly the same
+        # cells with the same weights as the clamped corner form — when
+        # y0 <= hi-1 the indices coincide, and when y0 == hi (yc == hi,
+        # so ly == 0) the shift makes ly' == 1, an exact-1 weight on row
+        # hi, matching the corner form's exact-0 weight on the duplicate
+        # row. x identically. Bit-exact: the selected values and weight
+        # products are the same floats.
+        y0p = jnp.minimum(y0, hi - 1)
+        x0p = jnp.minimum(x0, wi - 1)
+        ly = (yc - y0p)[:, :, None, None]  # (out, s, 1, 1)
+        lx = (xc - x0p)[None, None]  # (1, 1, out, s)
+        rows = jnp.broadcast_to(
+            ro + y0p[:, :, None, None], (out, sampling, out, sampling)
+        )
+        cols = jnp.broadcast_to(x0p[None, None], (out, sampling, out, sampling))
+        starts = jnp.stack([rows, cols], -1).reshape(-1, 2)
+        ch = pyr.shape[-1]
+        patches = jax.lax.gather(
+            pyr,
+            starts,
+            jax.lax.GatherDimensionNumbers(
+                offset_dims=(1, 2, 3),
+                collapsed_slice_dims=(),
+                start_index_map=(0, 1),
+            ),
+            slice_sizes=(2, 2, ch),
+        ).reshape(out, sampling, out, sampling, 2, 2, ch)
+        ly = ly[..., None]
+        lx = lx[..., None]
         val = (
-            v00 * (1 - ly) * (1 - lx)
-            + v01 * (1 - ly) * lx
-            + v10 * ly * (1 - lx)
-            + v11 * ly * lx
+            patches[..., 0, 0, :] * (1 - ly) * (1 - lx)
+            + patches[..., 0, 1, :] * (1 - ly) * lx
+            + patches[..., 1, 0, :] * ly * (1 - lx)
+            + patches[..., 1, 1, :] * ly * lx
         )
         return jnp.mean(val, axis=(1, 3))  # (out, out, C)
 

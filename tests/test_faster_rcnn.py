@@ -55,6 +55,38 @@ def test_roi_align_constant_map():
     assert v > 1.0  # mapped to a deeper level
 
 
+def test_roi_align_patch_matches_corner():
+    """The patch gather layout (ROI_GATHER="patch", one (2,2,C) slice per
+    sample point) must match the four-corner gather form to float noise
+    (<=2 ulp from XLA fusion reassociation — faster_rcnn.ROI_GATHER doc),
+    including edge-hugging boxes (the shifted-corner clamp algebra) and
+    zero-padded proposal rows (finite output)."""
+    import edgeml_tpu.models.faster_rcnn as fr
+
+    rng = np.random.default_rng(7)
+    feats = [jnp.asarray(rng.standard_normal((s, s, 16)).astype(np.float32))
+             for s in (160, 80, 40, 20)]
+    n = 73
+    c = rng.uniform(0, 640, (n, 2))
+    wh = np.exp(rng.uniform(np.log(4), np.log(600), (n, 2)))
+    b = np.concatenate(
+        [np.maximum(c - wh / 2, 0), np.minimum(c + wh / 2, 640)], 1
+    ).astype(np.float32)
+    b[-3:] = 0.0                     # pad rows
+    b[0] = [600, 600, 640, 640]      # edge-hugging (clamped corners)
+    boxes = jnp.asarray(b)
+    prev = fr.ROI_GATHER
+    try:
+        fr.ROI_GATHER = "corner"
+        want = np.asarray(roi_align_fpn(feats, boxes, 640))
+        fr.ROI_GATHER = "patch"
+        got = np.asarray(roi_align_fpn(feats, boxes, 640))
+    finally:
+        fr.ROI_GATHER = prev
+    assert np.isfinite(got).all()
+    assert np.allclose(want[:-3], got[:-3], atol=1e-6, rtol=0)
+
+
 def test_roi_align_bilinear_values():
     # Linear ramp along x on the stride-4 level: pooled values follow the ramp.
     H = 64
