@@ -354,6 +354,11 @@ def run_families():
     net = FasterRCNN(num_classes=91)
     params = net.init(jax.random.PRNGKey(0))
     guarded("faster_rcnn_f32", net, params, None, net.image_size, None)
+    # bf16 pays double after the patch-gather RoIAlign (r4j): the gathers
+    # read a bf16 pyramid (half the bytes of the dominant stage) AND the
+    # box head matmuls hit MXU bf16 peak.
+    guarded("faster_rcnn_bf16", net, params, None, net.image_size,
+            jnp.bfloat16)
     return out
 
 
@@ -462,6 +467,9 @@ def main():
                 "retinanet_infer_imgs_per_sec_bf16": fams.get("retinanet_bf16"),
                 "faster_rcnn_infer_imgs_per_sec_f32": fams.get(
                     "faster_rcnn_f32"
+                ),
+                "faster_rcnn_infer_imgs_per_sec_bf16": fams.get(
+                    "faster_rcnn_bf16"
                 ),
                 "yolov5n_train_imgs_per_sec_f32": train.get("f32"),
                 "yolov5n_train_imgs_per_sec_bf16": train.get("bf16"),
