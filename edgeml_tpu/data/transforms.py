@@ -27,6 +27,39 @@ class Compose:
         return image, target
 
 
+class PILToTensor:
+    """Tensor-representation shim
+    (/root/reference/torch_models/references/transforms.py:48-53).
+
+    The torch original converts a PIL image to a uint8 CHW tensor; in this
+    pipeline images are already HWC arrays, so the equivalent contract is
+    "whatever the loader produced becomes a uint8 HWC array" (float inputs
+    in [0, 1] are scaled, matching F.pil_to_tensor's byte semantics)."""
+
+    def __call__(self, image, target, rng):
+        if image.dtype != np.uint8:
+            image = np.round(np.clip(image, 0.0, 1.0) * 255.0).astype(
+                np.uint8)
+        return image, target
+
+
+class ConvertImageDtype:
+    """Dtype conversion with torchvision's value-scaling semantics
+    (/root/reference/torch_models/references/transforms.py:56-65):
+    uint8 -> float divides by 255; float -> float is a plain cast."""
+
+    def __init__(self, dtype=np.float32):
+        self.dtype = np.dtype(dtype)
+
+    def __call__(self, image, target, rng):
+        if image.dtype == np.uint8 and self.dtype.kind == "f":
+            image = image.astype(self.dtype) / np.asarray(
+                255.0, self.dtype)
+        else:
+            image = image.astype(self.dtype)
+        return image, target
+
+
 # COCO person left/right joint swap under a horizontal flip
 # (/root/reference/torch_models/references/transforms.py:10-17).
 _KP_FLIP_INDS = (0, 2, 1, 4, 3, 6, 5, 8, 7, 10, 9, 12, 11, 14, 13, 16, 15)

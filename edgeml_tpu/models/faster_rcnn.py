@@ -205,8 +205,11 @@ def roi_align_fpn(feats, boxes, image_size: int, out: int = 7, sampling: int = 2
         # hi, matching the corner form's exact-0 weight on the duplicate
         # row. x identically. Bit-exact: the selected values and weight
         # products are the same floats.
-        y0p = jnp.minimum(y0, hi - 1)
-        x0p = jnp.minimum(x0, wi - 1)
+        # max(.., 0) defines the chunk-pad-row case (hi = 0 -> y0p would be
+        # -1, and gather start-index clamping under PROMISE_IN_BOUNDS is
+        # implementation-defined); real rows have hi >= 1 so it is a no-op
+        y0p = jnp.maximum(jnp.minimum(y0, hi - 1), 0)
+        x0p = jnp.maximum(jnp.minimum(x0, wi - 1), 0)
         ly = (yc - y0p)[:, :, None, None]  # (out, s, 1, 1)
         lx = (xc - x0p)[None, None]  # (1, 1, out, s)
         rows = jnp.broadcast_to(

@@ -139,3 +139,28 @@ def test_hflip_masks_and_keypoints():
     # round trip is identity
     back = flip_coco_person_keypoints(t2["keypoints"], w)
     np.testing.assert_allclose(back, kps)
+
+
+def test_conversion_shims_match_torchvision_semantics():
+    """PILToTensor / ConvertImageDtype equivalents
+    (references/transforms.py:48-65): byte representation round-trips
+    through the uint8->float division-by-255 contract, targets untouched."""
+    from edgeml_tpu.data.transforms import ConvertImageDtype, PILToTensor
+
+    img, tgt = sample()
+    rng = np.random.default_rng(0)
+    u8, t1 = PILToTensor()(img, tgt, rng)
+    assert u8.dtype == np.uint8 and t1 is tgt
+    np.testing.assert_array_equal(
+        u8, np.round(np.clip(img, 0, 1) * 255).astype(np.uint8))
+    # uint8 input passes through unchanged
+    again, _ = PILToTensor()(u8, tgt, rng)
+    np.testing.assert_array_equal(again, u8)
+
+    f32, t2 = ConvertImageDtype(np.float32)(u8, tgt, rng)
+    assert f32.dtype == np.float32 and t2 is tgt
+    np.testing.assert_allclose(f32, u8.astype(np.float32) / 255.0)
+    assert f32.max() <= 1.0
+    # float -> float is a plain cast (no rescale)
+    f16, _ = ConvertImageDtype(np.float16)(f32, tgt, rng)
+    np.testing.assert_allclose(f16, f32.astype(np.float16))

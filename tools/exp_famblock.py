@@ -45,6 +45,13 @@ def make_net(name):
 def bench(name, block):
     net, params, stats = make_net(name)
     nms.NMS_BLOCK = block
+    # NMS_BLOCK is read at trace time inside module-level-jitted wrappers
+    # (nms_split_batch, nms_rows) whose trace caches are keyed on avals —
+    # without clearing, every arm silently reuses the first arm's trace
+    # (the same nested-jit failure that invalidated the r4b G sweep).
+    nms.nms_split_batch.clear_cache()
+    nms.nms_rows.clear_cache()
+    nms.nms_split.clear_cache()
     dt = jnp.bfloat16 if DTYPE == "bf16" else None
     size = net.image_size
 

@@ -72,4 +72,7 @@ best = min((m, b) for b, m in results.items() if b is not None)[1]
 print(f"best block: {best}", flush=True)
 for blk in (None, best):
     nms.NMS_BLOCK = blk
+    # the second-stage tail goes through module-level-jitted nms_rows whose
+    # trace cache is keyed on avals — clear so the knob actually re-traces
+    nms.nms_rows.clear_cache()
     run(f"full detect NMS_BLOCK={blk}", lambda a, s: detect_step(a, s))
