@@ -652,6 +652,115 @@ topk1d instead of one lax.top_k — XLA's TopK has shape cliffs at k=1024
 128-batch, making the (14336,) k=1024 TopK a suspect. Trace-time flag;
 None pending TPU measurement (tools/exp_pooltopk.py)."""
 
+POOL_SELECT = "topk"
+"""Pool-ranking selector for the KEYED (bf16) path. The (30,720,)->1024
+lax.top_k is ~3 ms of the 23 ms B=128 serving step (r4i exp_rawablate) —
+far off XLA TopK's usual ~1-2 cycles/element — so these exact partial-select
+alternatives exist as trace-time knobs (decided by TPU A/B,
+tools/exp_poolsel.py):
+
+  * "topk"      — one lax.top_k (round-4 default);
+  * "threshold" — binary-search the exact k-th key (32 fully-parallel
+                  compare-count passes over the unique _pack17 keys), then
+                  compact the exactly-k survivors by a byte-split one-hot
+                  MXU matmul and sort the k results;
+  * "scatter"   — same threshold, compaction via a k-slot scatter.
+
+Both alternatives are bit-identical to lax.top_k on _pack17 keys (unique
+by construction, so the k-th value threshold selects exactly k elements
+and tie order is moot) — fuzz-pinned by tests/test_nms_split_batch.py. They
+apply only when by_key (keys embed the pool index in the low 17 bits,
+which the compaction path recovers algebraically instead of carrying an
+index payload)."""
+
+
+def _cumsum01_mm(mask):
+    """Inclusive cumsum of a 1-D 0/1 int mask as two levels of triangular
+    MXU matmuls (ops/map_kernel.py MM_CUMSUM precedent: 0/1 operands are
+    exact under the MXU's bf16 operand rounding, block sums <= 128 are
+    bf16-exact, and f32 accumulation of <2^24 integers is exact)."""
+    n = mask.shape[0]
+    blk = 128
+    pad = -n % blk
+    xp = jnp.pad(mask.astype(jnp.bfloat16), (0, pad)).reshape(-1, blk)
+    tri = (
+        jax.lax.iota(jnp.int32, blk)[:, None]
+        <= jax.lax.iota(jnp.int32, blk)[None, :]
+    ).astype(jnp.bfloat16)
+    within = jax.lax.dot_general(
+        xp, tri, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (nb, blk) inclusive within-block counts
+    sums = within[:, -1]  # (nb,) block sums, <= 128 each (bf16-exact)
+    nb = sums.shape[0]
+    pb = -nb % blk
+    sp = jnp.pad(sums.astype(jnp.bfloat16), (0, pb))[None, :]
+    nbp = sp.shape[1]
+    tri2 = (
+        jax.lax.iota(jnp.int32, nbp)[:, None]
+        < jax.lax.iota(jnp.int32, nbp)[None, :]
+    ).astype(jnp.bfloat16)  # strict: EXCLUSIVE block offsets
+    offs = jax.lax.dot_general(
+        sp, tri2, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )[0, :nb]
+    out = (within + offs[:, None]).reshape(-1)[:n]
+    return out.astype(jnp.int32)
+
+
+def _kth_largest_u32(uk, k):
+    """The k-th largest of a 1-D array of UNIQUE uint32 values, by 32
+    compare-count halvings (each a fully-lane-parallel VPU pass — no sort,
+    no TopK). Returns the exact value (count(uk >= t) == k)."""
+
+    def body(_, lohi):
+        lo, hi = lohi
+        span = hi - lo
+        mid = lo + (span >> jnp.uint32(1)) + (span & jnp.uint32(1))  # ceil
+        ok = jnp.sum((uk >= mid).astype(jnp.int32)) >= k
+        return (
+            jnp.where(ok, mid, lo),
+            jnp.where(ok, hi, mid - jnp.uint32(1)),
+        )
+
+    lo = jnp.asarray(0, jnp.uint32)
+    hi = jnp.asarray(0xFFFFFFFF, jnp.uint32)
+    lo, _ = jax.lax.fori_loop(0, 32, body, (lo, hi))
+    return lo
+
+
+def _topk_keys_threshold(keys, k, mode):
+    """Exact top-k (values sorted desc, ties impossible) of unique int32
+    _pack17 keys via threshold partial select — see POOL_SELECT. Returns
+    the sorted keys only; callers recover the embedded index from the low
+    17 bits ((-key) & 0x1FFFF)."""
+    uk = keys.astype(jnp.uint32) ^ jnp.uint32(0x80000000)  # order-preserving
+    t = _kth_largest_u32(uk, k)
+    mask = uk >= t  # exactly k elements (keys unique)
+    ranks = _cumsum01_mm(mask) - 1  # index-order position among survivors
+    if mode == "scatter":
+        slots = jnp.where(mask, ranks, k)
+        sel_u = (
+            jnp.zeros((k,), jnp.uint32).at[slots].set(uk, mode="drop")
+        )
+    else:  # one-hot byte-split MXU compaction
+        oh = (
+            mask[:, None]
+            & (ranks[:, None] == jax.lax.iota(jnp.int32, k)[None, :])
+        ).astype(jnp.bfloat16)
+        sh = jnp.arange(4, dtype=jnp.uint32) * 8
+        bts = ((uk[:, None] >> sh[None, :]) & jnp.uint32(0xFF)).astype(
+            jnp.bfloat16
+        )  # (n, 4) byte planes, each value <= 255 (bf16-exact)
+        comp = jax.lax.dot_general(
+            oh, bts, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (k, 4): each entry one exact byte (single nonzero per column)
+        b = comp.astype(jnp.uint32)
+        sel_u = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16) | (b[:, 3] << 24)
+    sel_sorted = jnp.sort(sel_u)[::-1]
+    return (sel_sorted ^ jnp.uint32(0x80000000)).astype(jnp.int32)
+
 
 def _pool_rank(best_top, hid_val, cls_conf, conf_thres, t_rows, k, by_key):
     """Two-tier pool ranking + exactness certificate over the g gathered
@@ -680,19 +789,29 @@ def _pool_rank(best_top, hid_val, cls_conf, conf_thres, t_rows, k, by_key):
         pool_k = jnp.concatenate([keys[:b1].reshape(-1), v.reshape(-1)])
         pool_col = i.reshape(-1)  # tier-2 column lookup
     kk = min(k, pool_k.shape[0])
-    if POOL_TOPK_CHUNK and pool_k.shape[0] > POOL_TOPK_CHUNK:
-        top_keys, sel = topk1d(pool_k, kk, chunk=POOL_TOPK_CHUNK)
+    if by_key and POOL_SELECT != "topk" and kk < pool_k.shape[0]:
+        # threshold partial select: keys embed the ORIGINAL g*nc flat index
+        # in the low 17 bits (true for tier-2 entries too — their keys were
+        # packed before the per-row top_k), so row/col come straight from
+        # the selected keys and the tiered pool_col lookup disappears.
+        top_keys = _topk_keys_threshold(pool_k, kk, POOL_SELECT)
+        flat_sel = (-top_keys) & ((1 << 17) - 1)
+        row = flat_sel // nc
+        col = flat_sel % nc
     else:
-        top_keys, sel = jax.lax.top_k(pool_k, kk)
-    if full:
-        row = sel // nc
-        col = sel % nc
-    else:
-        tier2 = sel - b1 * nc  # >= 0 only for tier-2 entries
-        row = jnp.where(tier2 < 0, sel // nc, b1 + tier2 // t_rows)
-        col = jnp.where(
-            tier2 < 0, sel % nc, pool_col[jnp.maximum(tier2, 0)]
-        )
+        if POOL_TOPK_CHUNK and pool_k.shape[0] > POOL_TOPK_CHUNK:
+            top_keys, sel = topk1d(pool_k, kk, chunk=POOL_TOPK_CHUNK)
+        else:
+            top_keys, sel = jax.lax.top_k(pool_k, kk)
+        if full:
+            row = sel // nc
+            col = sel % nc
+        else:
+            tier2 = sel - b1 * nc  # >= 0 only for tier-2 entries
+            row = jnp.where(tier2 < 0, sel // nc, b1 + tier2 // t_rows)
+            col = jnp.where(
+                tier2 < 0, sel % nc, pool_col[jnp.maximum(tier2, 0)]
+            )
     if by_key:
         # Recover scores from the keys: key + flat == score_bits << 17.
         u_sel = (top_keys + row * nc + col) >> 17

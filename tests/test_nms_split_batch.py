@@ -446,3 +446,67 @@ def test_pool_topk_chunked_matches_default():
     assert bool(ok) == bool(ok_ref)
     np.testing.assert_array_equal(np.asarray(v), np.asarray(v_ref))
     np.testing.assert_array_equal(np.asarray(d), np.asarray(d_ref))
+
+
+@pytest.mark.parametrize("mode", ["threshold", "scatter"])
+def test_pool_select_threshold_matches_topk_unit(mode):
+    """_topk_keys_threshold is bit-identical to lax.top_k on _pack17 keys
+    (unique by construction): same keys, same order, and the embedded
+    index round-trips. Covers real/masked mixes and the all-masked pool."""
+    from edgeml_tpu.ops import nms as nms_mod
+
+    rng = np.random.default_rng(7)
+    for n, k, frac_real in [(30720, 1024, 0.5), (30720, 1024, 0.001),
+                            (14336, 1024, 0.0), (4096, 4096 - 1, 1.0),
+                            (517, 96, 0.3)]:
+        vals = rng.random(n).astype(np.float32)
+        vals[rng.random(n) >= frac_real] = -1.0  # masked entries
+        keys = nms_mod._pack17(jnp.asarray(vals, jnp.bfloat16))
+        want_v, want_i = jax.lax.top_k(keys, k)
+        got_v = nms_mod._topk_keys_threshold(keys, k, mode)
+        np.testing.assert_array_equal(np.asarray(got_v), np.asarray(want_v))
+        got_i = np.asarray((-got_v) & ((1 << 17) - 1))
+        np.testing.assert_array_equal(got_i, np.asarray(want_i))
+
+
+@pytest.mark.parametrize("mode", ["threshold", "scatter"])
+@pytest.mark.parametrize("hot", [4, 400])
+def test_pool_select_threshold_pipeline_exact(mode, hot):
+    """POOL_SELECT routes the keyed pool ranking through the threshold
+    partial select — end-to-end results must be bit-identical to the
+    lax.top_k path in both the full-pool and tiered-pool configurations."""
+    from edgeml_tpu.ops import nms as nms_mod
+
+    rng = np.random.default_rng(29 + hot)
+    obj, xywh, cls = make_case(rng, 3, 900, 80, hot_boxes=hot)
+    obj16, cls16 = obj.astype(jnp.bfloat16), cls.astype(jnp.bfloat16)
+    kw = dict(conf_thres=1e-4, iou_thres=0.6, max_det=64, max_cand=256)
+    assert nms_mod.POOL_SELECT == "topk"
+    d_ref, v_ref, ok_ref = nms_split_batch(
+        obj16, xywh, cls16, fallback="flag", **kw
+    )
+    old_b1 = nms_mod.PAIR_B1
+    nms_mod.POOL_SELECT = mode
+    nms_split_batch.clear_cache()  # trace-time flag
+    try:
+        d, v, ok = nms_split_batch(obj16, xywh, cls16, fallback="flag", **kw)
+        # the tiered pool exercises the tier-2 key-index recovery
+        nms_mod.PAIR_B1 = 32
+        nms_mod.POOL_SELECT = "topk"
+        nms_split_batch.clear_cache()
+        d_ref2, v_ref2, ok2_ref = nms_split_batch(
+            obj16, xywh, cls16, fallback="flag", **kw)
+        nms_mod.POOL_SELECT = mode
+        nms_split_batch.clear_cache()
+        d2, v2, ok2 = nms_split_batch(
+            obj16, xywh, cls16, fallback="flag", **kw)
+    finally:
+        nms_mod.POOL_SELECT = "topk"
+        nms_mod.PAIR_B1 = old_b1
+        nms_split_batch.clear_cache()
+    assert bool(ok) == bool(ok_ref)
+    np.testing.assert_array_equal(np.asarray(v), np.asarray(v_ref))
+    np.testing.assert_array_equal(np.asarray(d), np.asarray(d_ref))
+    assert bool(ok2) == bool(ok2_ref)
+    np.testing.assert_array_equal(np.asarray(v2), np.asarray(v_ref2))
+    np.testing.assert_array_equal(np.asarray(d2), np.asarray(d_ref2))
