@@ -656,8 +656,11 @@ POOL_SELECT = "topk"
 """Pool-ranking selector for the KEYED (bf16) path. The (30,720,)->1024
 lax.top_k is ~3 ms of the 23 ms B=128 serving step (r4i exp_rawablate) —
 far off XLA TopK's usual ~1-2 cycles/element — so these exact partial-select
-alternatives exist as trace-time knobs (decided by TPU A/B,
-tools/exp_poolsel.py):
+alternatives exist as trace-time knobs. MEASURED NEGATIVE (r5a
+tools/exp_poolsel.py, B=128 x16): topk 22.4-22.5 ms | threshold 25.8 |
+scatter 39.0 — the threshold compaction's (30,720, 1024) one-hot is ~8 GB
+of HBM traffic per batch, dwarfing the saved TopK. "topk" stays the
+default; the alternatives remain for small-k regimes:
 
   * "topk"      — one lax.top_k (round-4 default);
   * "threshold" — binary-search the exact k-th key (32 fully-parallel

@@ -100,8 +100,25 @@ RAW_GATHER = "concat"
             ~1.2 ms/128-batch WORSE than concat (the one-hot apparently
             materializes once per matmul instead of fusing twice);
   "narrow"  one-hot matmul for cls only; obj/xy/wh take narrow dynamic
-            gathers (5 elements/row).
-A/B: tools/exp_rawgather.py."""
+            gathers (5 elements/row);
+  "blocked" two-level one-hot: the flat index splits into (block, offset)
+            with block size GATHER_BLOCK; a (g, N/blk) one-hot matmul
+            against the payload reshaped (N/blk, blk*(nc+5)) pulls each
+            candidate's whole block, then a per-row (g, blk) one-hot
+            batched contraction picks the offset. Same FLOPs as "concat"
+            (the MXU still streams every payload element once) but the
+            materialized one-hot shrinks ~blk x — (g, N) bf16 is ~19 MB/
+            image at N=25200, ~2.5 GB of HBM write+read per 128-batch,
+            which r4e measured as the gather's real cost. Both levels are
+            single-nonzero 0/1 contractions, so the pass-through stays
+            lossless (bit-identical to "concat").
+A/B: tools/exp_rawgather.py, tools/exp_gblock.py."""
+
+GATHER_BLOCK = 16
+"""Block size for RAW_GATHER="blocked" (trace-time). The one-hot shrinks
+blk x while the (g, blk*(nc+5)) block-rows intermediate grows with blk;
+traffic is minimized near blk = sqrt(N*(nc+5))/... — 8/16/32 bracket the
+optimum at N=25200, nc=80 (decided by TPU A/B)."""
 
 
 def _gather_rows_raw(box_pre, obj_s, xy, wh, cls):
@@ -131,6 +148,33 @@ def _gather_rows_raw(box_pre, obj_s, xy, wh, cls):
 
         if RAW_GATHER == "concat":
             rows = mm(jnp.concatenate([cls, obj_s[:, None], xy, wh], axis=1))
+            return (
+                rows[:, :nc], rows[:, nc], rows[:, nc + 1 : nc + 3],
+                rows[:, nc + 3 : nc + 5],
+            )
+        if RAW_GATHER == "blocked":
+            blk = GATHER_BLOCK
+            g = box_pre.shape[0]
+            m = -(-n // blk)
+            payload = jnp.concatenate([cls, obj_s[:, None], xy, wh], axis=1)
+            c = payload.shape[1]
+            if m * blk != n:
+                payload = jnp.pad(payload, ((0, m * blk - n), (0, 0)))
+            oh_hi = (
+                (box_pre // blk)[:, None] == jax.lax.iota(jnp.int32, m)[None, :]
+            ).astype(cls.dtype)
+            rows_blk = jax.lax.dot_general(
+                oh_hi, payload.reshape(m, blk * c), (((1,), (0,)), ((), ())),
+                preferred_element_type=cls.dtype,
+            ).reshape(g, blk, c)
+            oh_lo = (
+                (box_pre % blk)[:, None] == jax.lax.iota(jnp.int32, blk)[None, :]
+            ).astype(cls.dtype)
+            rows = jax.lax.dot_general(
+                oh_lo[:, None, :], rows_blk,
+                (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=cls.dtype,
+            )[:, 0, :]
             return (
                 rows[:, :nc], rows[:, nc], rows[:, nc + 1 : nc + 3],
                 rows[:, nc + 3 : nc + 5],

@@ -198,3 +198,38 @@ def test_run_detection_raw_tail_files_equal(small_net, tmp_path, dtype):
     assert any(
         np.load(out_a / f"im{i}.npy").size for i in range(5)
     ), "degenerate case: no detections anywhere"
+
+
+def test_gather_layouts_bit_identical():
+    """_gather_rows_raw layouts (concat / split / narrow / blocked at
+    several block sizes) are bit-identical on bf16 payloads: every variant
+    is a lossless single-nonzero 0/1 contraction (or a plain gather). n is
+    chosen NOT divisible by the block sizes to exercise blocked's pad."""
+    from edgeml_tpu.ops import nms_raw as nr
+
+    rng = np.random.default_rng(11)
+    n, nc, g = 1001, 80, 96
+    cls = jnp.asarray(rng.normal(0, 2, (n, nc)), jnp.bfloat16)
+    obj = jnp.asarray(rng.random(n), jnp.bfloat16)
+    xy = jnp.asarray(rng.normal(0, 1, (n, 2)), jnp.bfloat16)
+    wh = jnp.asarray(rng.normal(0, 1, (n, 2)), jnp.bfloat16)
+    idx = jnp.asarray(rng.choice(n, g, replace=False).astype(np.int32))
+    saved_g, saved_b = nr.RAW_GATHER, nr.GATHER_BLOCK
+    outs = {}
+    try:
+        for mode, blk in [("concat", None), ("split", None),
+                          ("narrow", None), ("blocked", 8),
+                          ("blocked", 16), ("blocked", 32)]:
+            nr.RAW_GATHER = mode
+            if blk is not None:
+                nr.GATHER_BLOCK = blk
+            outs[(mode, blk)] = nr._gather_rows_raw(idx, obj, xy, wh, cls)
+    finally:
+        nr.RAW_GATHER, nr.GATHER_BLOCK = saved_g, saved_b
+    ref = outs[("concat", None)]
+    # sanity vs plain indexing
+    np.testing.assert_array_equal(np.asarray(ref[0]), np.asarray(cls[idx]))
+    for key, got in outs.items():
+        for a, b in zip(ref, got):
+            np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b), err_msg=str(key))
