@@ -37,10 +37,10 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def make_workload(rng):
+def make_workload(rng, n_img=None):
     """set_data-format triples with matching-consistent TP flags."""
     weak, strong, labels = [], [], []
-    for _ in range(N_IMG):
+    for _ in range(N_IMG if n_img is None else n_img):
         m = rng.integers(max(LABELS_PER_IMG // 2, 1), LABELS_PER_IMG * 2 + 1)
         lab = rng.integers(0, N_CLS, size=m)
         labels.append(lab)
@@ -123,17 +123,22 @@ def run_baseline(weak, strong, labels):
     return ips
 
 
-def run_ours(weak, strong, labels):
+def run_ours(weak, strong, labels, tag=""):
+    """Median-of-BENCH_ORIE_REPS throughput (default 3): run-to-run spread
+    across sessions was a 40% band (PERF.md headline row, chip-state), so a
+    single timed run is not a trustworthy headline. Returns
+    (median img/s, sorted per-run list)."""
     from edgeml_tpu.ops.map_kernel import build_pool
     from edgeml_tpu.reward import orie_rewards
 
     import jax
 
+    n_img = len(labels)
     log(f"devices: {jax.devices()}")
     t0 = time.perf_counter()
     pool = build_pool(weak, strong, labels)
     log(
-        f"pool build (host prep): {time.perf_counter() - t0:.2f}s, "
+        f"pool build{tag} (host prep): {time.perf_counter() - t0:.2f}s, "
         f"shape C={pool.tp.shape[0]} K={pool.tp.shape[1]}"
     )
 
@@ -143,15 +148,22 @@ def run_ours(weak, strong, labels):
     # Warm up: compile the batched kernel (one-time, cached).
     t0 = time.perf_counter()
     orie_rewards(weak, strong, labels, NUM_ENSEMBLE, seed=0, pool=pool, batch=batch)
-    log(f"warmup incl. compile: {time.perf_counter() - t0:.2f}s")
+    log(f"warmup{tag} incl. compile: {time.perf_counter() - t0:.2f}s")
 
-    t0 = time.perf_counter()
-    r = orie_rewards(weak, strong, labels, NUM_ENSEMBLE, seed=1, pool=pool, batch=batch)
-    elapsed = time.perf_counter() - t0
-    ips = N_IMG / elapsed
-    log(f"ours ({N_IMG} imgs): {elapsed:.2f}s -> {ips:.1f} img/s")
-    log(f"reward stats: mean {r.mean():.4f} std {r.std():.4f}")
-    return ips
+    reps = int(os.environ.get("BENCH_ORIE_REPS", 3))
+    runs = []
+    for rep in range(reps):
+        t0 = time.perf_counter()
+        r = orie_rewards(weak, strong, labels, NUM_ENSEMBLE, seed=1 + rep,
+                         pool=pool, batch=batch)
+        elapsed = time.perf_counter() - t0
+        runs.append(round(n_img / elapsed, 1))
+        log(f"ours{tag} ({n_img} imgs, rep {rep}): {elapsed:.2f}s -> "
+            f"{runs[-1]:.1f} img/s (reward mean {r.mean():.4f})")
+    runs.sort()
+    med = runs[len(runs) // 2]
+    log(f"ours{tag} median of {reps}: {med:.1f} img/s (spread {runs})")
+    return med, runs
 
 
 def run_yolo(variant=None, b=None, iters=None, int8=None):
@@ -341,6 +353,10 @@ def run_families():
     net = SSDLite(num_classes=91)
     params, stats = net.init(jax.random.PRNGKey(0))
     guarded("ssdlite_f32", net, params, stats, net.image_size, None)
+    # bf16 expected ~neutral (f32 convs already run at bf16 MXU speed at
+    # DEFAULT precision) — recorded anyway: the serving knob exists for
+    # every family and the row belongs in the record.
+    guarded("ssdlite_bf16", net, params, stats, net.image_size, jnp.bfloat16)
 
     from edgeml_tpu.models.retinanet import RetinaNet
 
@@ -410,6 +426,52 @@ def run_train():
         ips = b * iters / (time.perf_counter() - t0)
         log(f"yolov5n TRAIN {name} (B={b}): {ips:.0f} img/s")
         out[name] = round(ips, 1)
+
+    # Anchor-family training throughput (the reference's PRIMARY trainer is
+    # the torchvision-family loop, train.py:120-139) — SSDLite320, the
+    # reference's default weak model, via make_family_train_step.
+    try:
+        from edgeml_tpu.models.engine import make_family_train_step
+        from edgeml_tpu.models.ssdlite import SSDLite
+
+        fb = int(os.environ.get("BENCH_FAMTRAIN_BATCH", 64))
+        snet = SSDLite(num_classes=91)
+        sparams, sstats = snet.init(jax.random.PRNGKey(0))
+        sopt, sstep = make_family_train_step(snet, TrainConfig())
+        sopt_state = sopt.init(sparams)
+        s_size = snet.image_size
+        str_ = hash_uniform(321, (fb, nt, 4)) * 0.4 + 0.2
+        stargets = jnp.concatenate(
+            [jnp.ones((fb, nt, 1)), str_[..., :2], str_[..., 2:] * 0.3 + 0.05],
+            axis=-1,
+        )
+        svalid = jnp.ones((fb, nt), bool)
+        skey = jax.random.PRNGKey(0)
+
+        @jax.jit
+        def run_fam(carry, seed):
+            p, s, o, acc = carry
+            imgs = hash_uniform(seed, (fb, s_size, s_size, 3))
+            p, s, o, loss, _ = sstep(p, s, o, imgs, stargets, svalid, 0.001,
+                                     skey)
+            return (p, s, o, acc + loss)
+
+        carry = (sparams, sstats, sopt_state, jnp.zeros(()))
+        t0 = time.perf_counter()
+        carry = run_fam(carry, 0)
+        float(carry[3])
+        log(f"ssdlite train warmup incl. compile: "
+            f"{time.perf_counter() - t0:.1f}s")
+        t0 = time.perf_counter()
+        for i in range(iters):
+            carry = run_fam(carry, 1 + i)
+        float(carry[3])
+        ips = fb * iters / (time.perf_counter() - t0)
+        log(f"ssdlite320 TRAIN f32 (B={fb}): {ips:.0f} img/s")
+        out["ssdlite_f32"] = round(ips, 1)
+    except Exception as e:  # noqa: BLE001 — record and continue
+        log(f"ssdlite train FAILED: {type(e).__name__}: {str(e)[:300]}")
+        out["ssdlite_f32"] = None
     return out
 
 
@@ -421,7 +483,7 @@ def main():
     )
     weak, strong, labels = make_workload(rng)
     baseline_ips = run_baseline(weak, strong, labels)
-    ours_ips = run_ours(weak, strong, labels)
+    ours_ips, ours_runs = run_ours(weak, strong, labels)
     def section(skip_var, fn):
         # A section's failure (remote-compile 500s happen — CLAUDE.md
         # flakiness notes) must not void the other sections' record: the
@@ -434,6 +496,15 @@ def main():
             log(f"section {skip_var[11:]} FAILED: "
                 f"{type(e).__name__}: {str(e)[:300]}")
             return {}
+
+    # The true COCO-val scale (BASELINE.md names 5k images; the headline
+    # N=2048 and this 5k row are BOTH reported every round so vs_baseline
+    # never silently mixes denominators again). The 5k pool is K=2688 —
+    # past the measured scale cliff (PERF.md r4b: 6,592 img/s vs 15,927).
+    orie5k = section("BENCH_SKIP_ORIE5K", lambda: dict(zip(
+        ("med", "runs"),
+        run_ours(*make_workload(np.random.default_rng(11), 5000), tag=" 5k"),
+    )))
 
     yolo = section("BENCH_SKIP_YOLO", run_yolo)
     # the reference's STRONG detector (yolov5m, yolov5_scripts.md:17);
@@ -455,6 +526,10 @@ def main():
                 "value": round(ours_ips, 2),
                 "unit": "images/sec (E=1000, COCO-val-scale synthetic)",
                 "vs_baseline": round(ours_ips / baseline_ips, 2),
+                "orie_median_of_3": round(ours_ips, 2),
+                "orie_runs_imgs_per_sec": ours_runs,
+                "orie_imgs_per_sec_cocoval5k": orie5k.get("med"),
+                "orie_runs_cocoval5k": orie5k.get("runs"),
                 "yolov5n_infer_imgs_per_sec_f32": yolo.get("f32"),
                 "yolov5n_infer_imgs_per_sec_bf16": yolo.get("bf16"),
                 "yolov5n_infer_imgs_per_sec_int8": yolo.get("int8"),
@@ -463,6 +538,7 @@ def main():
                 "yolov5m_infer_imgs_per_sec_bf16": strongdet.get("bf16"),
                 "yolov5m_infer_imgs_per_sec_int8": strongdet.get("int8"),
                 "ssdlite_infer_imgs_per_sec_f32": fams.get("ssdlite_f32"),
+                "ssdlite_infer_imgs_per_sec_bf16": fams.get("ssdlite_bf16"),
                 "retinanet_infer_imgs_per_sec_f32": fams.get("retinanet_f32"),
                 "retinanet_infer_imgs_per_sec_bf16": fams.get("retinanet_bf16"),
                 "faster_rcnn_infer_imgs_per_sec_f32": fams.get(
@@ -473,6 +549,7 @@ def main():
                 ),
                 "yolov5n_train_imgs_per_sec_f32": train.get("f32"),
                 "yolov5n_train_imgs_per_sec_bf16": train.get("bf16"),
+                "ssdlite_train_imgs_per_sec_f32": train.get("ssdlite_f32"),
             }
         )
     )

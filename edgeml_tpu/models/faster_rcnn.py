@@ -104,19 +104,53 @@ ROI_GATHER = "patch"
   "corner" — four separate gathers (v00/v01/v10/v11), one 256-wide row per
              bilinear corner: 4 * out^2 * sampling^2 gathered rows/proposal;
   "patch"  — ONE lax.gather of (2, 2, C) patches at (y0, x0): same bytes,
-             16x fewer gathered rows and one index tensor instead of four.
+             16x fewer gathered rows and one index tensor instead of four;
+  "fused"  — the (2, 2, C) patch gathered as a (2, 2C) slice from the
+             pyramid reshaped (sum H_l, W_0*C). MEASURED CATASTROPHIC
+             (r5c exp_roialign2 B=8: 3,235 ms vs patch's 115) — the
+             x0*C start offset is a DYNAMIC index into the minor/lane
+             dimension, which does not lower on TPU (CLAUDE.md gather
+             rules). Kept only as the negative-result record.
+  "pair"   — each pyramid row pre-concatenated with its successor along
+             channels ((sum H_l, W_0, 2C)); a sample point then gathers
+             ONE (1, 2, 2C) slice at (y0, x0): the same cells as "patch"
+             with HALF the gathered rows again, and the dynamic offsets
+             stay in sublane dims. Costs one (sum H_l, W_0, 2C) write
+             per image (~0.5 ms/batch at bf16) — row count was the
+             measured wall (r4j/r5c: ~3.1M rows x ~16 cyc at B=8).
 The shifted-corner weight algebra picks the same cells with the same
 weights (exact under sequential evaluation — verified against a NumPy
 replication), but XLA fuses the two graphs' multiply-adds differently, so
-compiled outputs agree to ~2 ulp (<=3e-7 observed), not bitwise. RoIAlign
-was 78% of the Faster R-CNN serving step (exp_rcnn r4j: +136.0 ms of
-174.8 at B=8): the corner form's gathered-ROW count, not its bytes, was
+compiled outputs agree to ~2 ulp (<=3e-7 observed), not bitwise ("patch"
+and "fused" gather identical values — they differ only in slice shape).
+RoIAlign was 78% of the Faster R-CNN serving step (exp_rcnn r4j: +136.0 ms
+of 174.8 at B=8): the corner form's gathered-ROW count, not its bytes, was
 the wall (25.7 GB touched is a 31 ms bandwidth bound). A/B lives in
 tools/exp_nmsblock.py's sibling exp_roialign.py."""
 
+ROI_PYR = None
+"""SERVING RoIAlign pyramid storage dtype (trace-time knob, consumed by
+FasterRCNN.detect only — training always follows the training dtype). None
+follows the feature dtype (f32 under f32 serving, bf16 under bf16). "bf16"
+stores the level pyramid — a read-only gather operand — in bfloat16 under
+f32 serving too, halving the gathered bytes: r5c exp_roialign2 measured
+the full B=8 f32 detect at 115.4 ms (pyr f32) vs 102.8 (pyr bf16), +12%
+img/s. Bilinear weights and all downstream decode stay f32; the ~1e-2
+relative feature rounding is a documented f32-contract divergence
+(docs/DIVERGENCES.md) bounded by
+tests/test_faster_rcnn.py::test_roi_pyr_bf16_close."""
+
+ROI_HEAD = None
+"""SERVING box-head compute dtype (trace-time knob, detect only). "bf16"
+casts the pooled features and box-head conv/fc weights to bfloat16 under
+f32 serving (the head's matmul operands are bf16-rounded by the MXU at
+DEFAULT precision anyway — this additionally halves the activation
+bandwidth of the 4 conv3x3 + fc stack over (P, 7, 7, 256) rows). cls/reg
+logits upcast to f32 before softmax/decode as always."""
+
 
 def roi_align_fpn(feats, boxes, image_size: int, out: int = 7, sampling: int = 2,
-                  chunk: int = 128):
+                  chunk: int = 128, pyr_dtype=None):
     """Multi-scale RoIAlign: (N, 4) xyxy boxes -> (N, out, out, C).
 
     Canonical level mapping k = floor(4 + log2(sqrt(area)/224)) clamped to
@@ -137,6 +171,9 @@ def roi_align_fpn(feats, boxes, image_size: int, out: int = 7, sampling: int = 2
     chunk: proposals per lax.map step — bounds the live
     (out, sampling, out, sampling, C) bilinear expansion (the unchunked
     form OOMed a 16 GB chip at batch 16 with 1000 proposals).
+
+    pyr_dtype: optional storage dtype for the gathered pyramid (see
+    ROI_PYR — serving passes it; training leaves the features' dtype).
     """
     areas = jnp.maximum(
         (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1]), 1e-6
@@ -156,6 +193,16 @@ def roi_align_fpn(feats, boxes, image_size: int, out: int = 7, sampling: int = 2
         [jnp.pad(f, ((0, 0), (0, w0 - f.shape[1]), (0, 0))) for f in feats],
         axis=0,
     )  # (sum H_l, W_0, C)
+    if pyr_dtype is not None:
+        pyr = pyr.astype(pyr_dtype)
+    pyr_flat = pyr.reshape(pyr.shape[0], -1)  # (sum H_l, W_0*C) for "fused"
+    if ROI_GATHER == "pair":
+        # row h paired with row h+1 along channels; the global last row's
+        # pair partner is a self-duplicate that is never read (every real
+        # sample has y0p <= level hi-1, so ro+y0p <= sum H_l - 2).
+        pyr_pair = jnp.concatenate(
+            [pyr, jnp.concatenate([pyr[1:], pyr[-1:]], axis=0)], axis=-1
+        )  # (sum H_l, W_0, 2C)
     row_off = np.cumsum([0] + heights[:-1])
 
     ki = k.astype(jnp.int32)
@@ -216,18 +263,55 @@ def roi_align_fpn(feats, boxes, image_size: int, out: int = 7, sampling: int = 2
             ro + y0p[:, :, None, None], (out, sampling, out, sampling)
         )
         cols = jnp.broadcast_to(x0p[None, None], (out, sampling, out, sampling))
-        starts = jnp.stack([rows, cols], -1).reshape(-1, 2)
         ch = pyr.shape[-1]
-        patches = jax.lax.gather(
-            pyr,
-            starts,
-            jax.lax.GatherDimensionNumbers(
-                offset_dims=(1, 2, 3),
-                collapsed_slice_dims=(),
-                start_index_map=(0, 1),
-            ),
-            slice_sizes=(2, 2, ch),
-        ).reshape(out, sampling, out, sampling, 2, 2, ch)
+        if ROI_GATHER == "pair":
+            starts = jnp.stack([rows, cols], -1).reshape(-1, 2)
+            pair = jax.lax.gather(
+                pyr_pair,
+                starts,
+                jax.lax.GatherDimensionNumbers(
+                    offset_dims=(1, 2, 3),
+                    collapsed_slice_dims=(),
+                    start_index_map=(0, 1),
+                ),
+                slice_sizes=(1, 2, 2 * ch),
+            ).reshape(out, sampling, out, sampling, 2, 2 * ch)
+            ly = ly[..., None]
+            lx = lx[..., None]
+            val = (
+                pair[..., 0, :ch] * (1 - ly) * (1 - lx)
+                + pair[..., 1, :ch] * (1 - ly) * lx
+                + pair[..., 0, ch:] * ly * (1 - lx)
+                + pair[..., 1, ch:] * ly * lx
+            )
+            return jnp.mean(val, axis=(1, 3))  # (out, out, C)
+        if ROI_GATHER == "fused":
+            # (2, 2C) slice from the (sum H_l, W_0*C) view: identical cells
+            # (x0p*C .. x0p*C+2C spans exactly columns x0p, x0p+1 of the
+            # 3-D pyramid), half the gathered rows of the (2, 2, C) slab.
+            starts = jnp.stack([rows, cols * ch], -1).reshape(-1, 2)
+            patches = jax.lax.gather(
+                pyr_flat,
+                starts,
+                jax.lax.GatherDimensionNumbers(
+                    offset_dims=(1, 2),
+                    collapsed_slice_dims=(),
+                    start_index_map=(0, 1),
+                ),
+                slice_sizes=(2, 2 * ch),
+            ).reshape(out, sampling, out, sampling, 2, 2, ch)
+        else:
+            starts = jnp.stack([rows, cols], -1).reshape(-1, 2)
+            patches = jax.lax.gather(
+                pyr,
+                starts,
+                jax.lax.GatherDimensionNumbers(
+                    offset_dims=(1, 2, 3),
+                    collapsed_slice_dims=(),
+                    start_index_map=(0, 1),
+                ),
+                slice_sizes=(2, 2, ch),
+            ).reshape(out, sampling, out, sampling, 2, 2, ch)
         ly = ly[..., None]
         lx = lx[..., None]
         val = (
@@ -381,21 +465,30 @@ class FasterRCNN:
         kept = suppress_mask(boxes, p, float(thresh), min(width, boxes.shape[0]))
         return boxes, jnp.where(kept, p, -jnp.inf)
 
-    def run_box_head(self, params, feats, boxes):
+    def run_box_head(self, params, feats, boxes, pyr_dtype=None,
+                     head_dtype=None):
         """RoIAlign + head for one image's (P, 4) proposals ->
-        (cls_logits (P, C), deltas (P, C, 4))."""
-        pooled = roi_align_fpn(feats, boxes, self.image_size)  # (P, 7, 7, C)
+        (cls_logits (P, C), deltas (P, C, 4)). pyr_dtype/head_dtype are the
+        serving-only ROI_PYR / ROI_HEAD overrides (detect passes them;
+        training leaves both None)."""
+        pooled = roi_align_fpn(feats, boxes, self.image_size,
+                               pyr_dtype=pyr_dtype)  # (P, 7, 7, C)
+        bh = params["box_head"]
+        if head_dtype is not None:
+            bh = jax.tree_util.tree_map(
+                lambda a: a.astype(head_dtype)
+                if getattr(a, "dtype", None) == jnp.float32 else a, bh)
         # bf16 serving: bilinear weights are f32, so pooled promotes to f32
         # even over bf16 feature maps — bring it back to the head's dtype
-        h = pooled.astype(params["box_head"]["convs"][0]["w"].dtype)
-        for cp in params["box_head"]["convs"]:
+        h = pooled.astype(bh["convs"][0]["w"].dtype)
+        for cp in bh["convs"]:
             h = jax.nn.relu(
                 conv2d(h, cp["w"], 1, padding=((1, 1), (1, 1))) + cp["b"]
             )
         h = h.reshape(h.shape[0], -1)
-        h = jax.nn.relu(h @ params["box_head"]["fc"]["w"] + params["box_head"]["fc"]["b"])
-        cls = h @ params["box_head"]["cls"]["w"] + params["box_head"]["cls"]["b"]
-        reg = h @ params["box_head"]["reg"]["w"] + params["box_head"]["reg"]["b"]
+        h = jax.nn.relu(h @ bh["fc"]["w"] + bh["fc"]["b"])
+        cls = h @ bh["cls"]["w"] + bh["cls"]["b"]
+        reg = h @ bh["reg"]["w"] + bh["reg"]["b"]
         return cls, reg.reshape(-1, self.num_classes, 4)
 
     # ---- full inference ---------------------------------------------------------
@@ -424,9 +517,17 @@ class FasterRCNN:
             ]
         prop_fn = self.proposals(rpn_outs, anchors_per_level)
 
+        # serving-only RoIAlign/head dtype knobs (see ROI_PYR / ROI_HEAD):
+        # under bf16 serving the pyramid is already bf16 and the head params
+        # were cast above, so the overrides only matter for f32 serving.
+        pyr_dt = jnp.bfloat16 if (ROI_PYR == "bf16" and dtype is None) else None
+        head_dt = jnp.bfloat16 if (ROI_HEAD == "bf16" and dtype is None) \
+            else None
+
         def one(bi_feats, bi_levels):
             boxes, valid = prop_fn(bi_levels)
-            cls, reg = self.run_box_head(params, bi_feats, boxes)
+            cls, reg = self.run_box_head(params, bi_feats, boxes,
+                                         pyr_dtype=pyr_dt, head_dtype=head_dt)
             cls = cls.astype(jnp.float32)
             reg = reg.astype(jnp.float32)
             scores = jax.nn.softmax(cls, -1)[:, 1:]  # (P, C-1)

@@ -105,20 +105,18 @@ RAW_GATHER = "concat"
             with block size GATHER_BLOCK; a (g, N/blk) one-hot matmul
             against the payload reshaped (N/blk, blk*(nc+5)) pulls each
             candidate's whole block, then a per-row (g, blk) one-hot
-            batched contraction picks the offset. Same FLOPs as "concat"
-            (the MXU still streams every payload element once) but the
-            materialized one-hot shrinks ~blk x — (g, N) bf16 is ~19 MB/
-            image at N=25200, ~2.5 GB of HBM write+read per 128-batch,
-            which r4e measured as the gather's real cost. Both levels are
-            single-nonzero 0/1 contractions, so the pass-through stays
-            lossless (bit-identical to "concat").
+            batched contraction picks the offset. Bit-identical to
+            "concat" (both levels are single-nonzero 0/1 contractions).
+            MEASURED NEGATIVE (r5b exp_gblock, 128x16 bf16): concat
+            22.5-22.6 ms vs blocked 26.2/26.9/27.7/29.1 at blk=8/16/32/64
+            — the (g, N) one-hot never materializes (XLA fuses the
+            iota-compare into the matmul), so blocking only adds a second
+            contraction. Kept for operand-pressure regimes (huge nc).
 A/B: tools/exp_rawgather.py, tools/exp_gblock.py."""
 
 GATHER_BLOCK = 16
-"""Block size for RAW_GATHER="blocked" (trace-time). The one-hot shrinks
-blk x while the (g, blk*(nc+5)) block-rows intermediate grows with blk;
-traffic is minimized near blk = sqrt(N*(nc+5))/... — 8/16/32 bracket the
-optimum at N=25200, nc=80 (decided by TPU A/B)."""
+"""Block size for RAW_GATHER="blocked" (trace-time; see the negative
+measurement above — 8 was the least-bad of 8/16/32/64)."""
 
 
 def _gather_rows_raw(box_pre, obj_s, xy, wh, cls):

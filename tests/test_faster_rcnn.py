@@ -113,3 +113,60 @@ def test_detect_end_to_end_smoke():
     if v.any():
         assert (d[v][:, :4] >= 0).all() and (d[v][:, :4] <= 256).all()
         assert (d[v][:, 5] >= 1).all()
+
+
+@pytest.mark.parametrize("mode", ["fused", "pair"])
+def test_roi_align_fused_matches_patch(mode):
+    """ROI_GATHER="fused" / "pair" gather the SAME cells as "patch"
+    (through a row-flattened / row-paired pyramid view) and apply the
+    identical weighting expression — outputs must match bitwise."""
+    import edgeml_tpu.models.faster_rcnn as fr
+
+    rng = np.random.default_rng(11)
+    feats = [jnp.asarray(rng.standard_normal((s, s, 16)).astype(np.float32))
+             for s in (160, 80, 40, 20)]
+    n = 41
+    c = rng.uniform(0, 640, (n, 2))
+    wh = np.exp(rng.uniform(np.log(4), np.log(600), (n, 2)))
+    b = np.concatenate(
+        [np.maximum(c - wh / 2, 0), np.minimum(c + wh / 2, 640)], 1
+    ).astype(np.float32)
+    b[-2:] = 0.0                     # pad rows
+    b[0] = [600, 600, 640, 640]      # edge-hugging (clamped corners)
+    boxes = jnp.asarray(b)
+    prev = fr.ROI_GATHER
+    try:
+        fr.ROI_GATHER = "patch"
+        want = np.asarray(roi_align_fpn(feats, boxes, 640))
+        fr.ROI_GATHER = mode
+        got = np.asarray(roi_align_fpn(feats, boxes, 640))
+    finally:
+        fr.ROI_GATHER = prev
+    assert np.isfinite(got).all()
+    np.testing.assert_array_equal(want, got)
+
+
+def test_roi_pyr_bf16_close():
+    """ROI_PYR="bf16" stores the read-only pyramid in bfloat16 (bandwidth
+    knob). Pooled features must stay within bf16 rounding of the f32
+    pyramid (weights/decode stay f32) — the documented divergence bound."""
+    import edgeml_tpu.models.faster_rcnn as fr
+
+    rng = np.random.default_rng(13)
+    feats = [jnp.asarray(rng.standard_normal((s, s, 16)).astype(np.float32))
+             for s in (160, 80, 40, 20)]
+    n = 32
+    c = rng.uniform(0, 640, (n, 2))
+    wh = np.exp(rng.uniform(np.log(8), np.log(500), (n, 2)))
+    b = np.concatenate(
+        [np.maximum(c - wh / 2, 0), np.minimum(c + wh / 2, 640)], 1
+    ).astype(np.float32)
+    boxes = jnp.asarray(b)
+    want = np.asarray(roi_align_fpn(feats, boxes, 640))
+    got = np.asarray(
+        roi_align_fpn(feats, boxes, 640, pyr_dtype=jnp.bfloat16)
+    )
+    assert got.dtype == np.float32  # f32 weights promote the output back
+    # bf16 has ~2^-8 relative precision; bilinear averaging cannot amplify
+    np.testing.assert_allclose(got, want, rtol=0, atol=4e-2)
+    assert np.abs(got - want).max() > 0  # the knob actually changed values
