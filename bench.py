@@ -317,12 +317,12 @@ def run_families():
     iters = int(os.environ.get("BENCH_FAM_ITERS", 6))
     out = {}
 
-    def one(tag, net, params, stats, size, dt):
+    def one(tag, net, params, stats, size, dt, q8=None):
         @jax.jit
         def step(acc, seed):
             imgs = hash_uniform(seed, (b, size, size, 3))
             dets, valid = _detect_generic(
-                net, params, stats, imgs, 0.05, 0.5, dtype=dt
+                net, params, stats, imgs, 0.05, 0.5, dtype=dt, q8=q8
             )
             return acc + dets.sum() * 1e-9 + valid.sum() * 1e-9
 
@@ -357,6 +357,27 @@ def run_families():
     # DEFAULT precision) — recorded anyway: the serving knob exists for
     # every family and the row belongs in the record.
     guarded("ssdlite_bf16", net, params, stats, net.image_size, jnp.bfloat16)
+    # int8 PTQ (models/quant_ssd.py): the MXU runs int8 contractions at ~2x
+    # bf16 rate with half the operand bandwidth — the edge-serving knob,
+    # now for the reference's default weak model too.
+    try:
+        from edgeml_tpu.models.quant_ssd import prepare_int8_ssd
+
+        t0 = time.perf_counter()
+        q8ssd = prepare_int8_ssd(
+            net, params, stats,
+            lambda i: hash_uniform(6000 + i, (8, net.image_size,
+                                              net.image_size, 3)),
+            iters=2,
+        ).tree
+        float(jnp.sum(
+            jax.tree_util.tree_leaves(q8ssd)[0].astype(jnp.float32)))
+        log(f"ssdlite int8 prep: {time.perf_counter() - t0:.1f}s")
+        guarded("ssdlite_int8", net, params, stats, net.image_size, None,
+                q8ssd)
+    except Exception as e:  # noqa: BLE001 — record and continue
+        log(f"ssdlite_int8 prep FAILED: {type(e).__name__}: {str(e)[:300]}")
+        out["ssdlite_int8"] = None
 
     from edgeml_tpu.models.retinanet import RetinaNet
 
@@ -539,6 +560,7 @@ def main():
                 "yolov5m_infer_imgs_per_sec_int8": strongdet.get("int8"),
                 "ssdlite_infer_imgs_per_sec_f32": fams.get("ssdlite_f32"),
                 "ssdlite_infer_imgs_per_sec_bf16": fams.get("ssdlite_bf16"),
+                "ssdlite_infer_imgs_per_sec_int8": fams.get("ssdlite_int8"),
                 "retinanet_infer_imgs_per_sec_f32": fams.get("retinanet_f32"),
                 "retinanet_infer_imgs_per_sec_bf16": fams.get("retinanet_bf16"),
                 "faster_rcnn_infer_imgs_per_sec_f32": fams.get(

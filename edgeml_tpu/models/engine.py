@@ -175,15 +175,17 @@ def evaluate(net, params, stats, images, gt_rows, batch_size: int = 8,
     dtype / q8 are the serving knobs of models/infer.py (_detect_batch):
     bfloat16 compute and the int8 post-training-quantized trunk — so the
     PTQ accuracy delta is measurable as a dataset mAP difference
-    (DIVERGENCES #18; q8 is YOLO-only, like --int8 serving)."""
+    (q8: Q8Yolo.tree for YOLO, Q8SSD.tree for SSDLite — like --int8
+    serving)."""
     from ..eval_coco import DetectionEvaluator
     from .infer import _detect_batch, _detect_generic
     from .common import letterbox_batch
 
     ev = DetectionEvaluator()
     is_yolo = type(net).__name__ == "YoloV5"
-    if q8 is not None and not is_yolo:
-        raise ValueError("int8 (q8) evaluation is implemented for YOLO only")
+    if q8 is not None and not (is_yolo or type(net).__name__ == "SSDLite"):
+        raise ValueError(
+            "int8 (q8) evaluation is implemented for YOLO and SSDLite only")
     for s in range(0, len(images), batch_size):
         chunk = images[s : s + batch_size]
         pad = batch_size - len(chunk)
@@ -213,7 +215,7 @@ def evaluate(net, params, stats, images, gt_rows, batch_size: int = 8,
             std = np.array([0.229, 0.224, 0.225], np.float32)
             dets, valid = _detect_generic(
                 net, params, stats, jnp.asarray((rs - mean) / std),
-                conf_thres, iou_thres, dtype=dtype,
+                conf_thres, iou_thres, dtype=dtype, q8=q8,
             )
         dets, valid = np.asarray(dets), np.asarray(valid)
         det_batch, gt_batch = [], []

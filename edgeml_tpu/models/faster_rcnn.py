@@ -140,6 +140,22 @@ relative feature rounding is a documented f32-contract divergence
 (docs/DIVERGENCES.md) bounded by
 tests/test_faster_rcnn.py::test_roi_pyr_bf16_close."""
 
+ROI_W16 = True
+"""When the gathered pyramid is bfloat16 (bf16 serving, or ROI_PYR="bf16"
+under f32 serving), also run the bilinear weighting in bf16 (trace-time
+knob). The (out, s, out, s, 2, 2, C) expansion intermediate is the
+RoIAlign tail's HBM traffic (~6.6 GB/B=8-batch at f32) — f32 weights were
+silently promoting the bf16 patches back to f32 for it. Weighting in bf16
+halves that; the pooled output still upcasts to the head dtype after the
+sampling mean. Accuracy rides the same divergence bound as ROI_PYR
+(test_roi_pyr_bf16_close covers both). Off => always weight in f32."""
+
+ROI_CHUNK = 128
+"""Proposals per RoIAlign lax.map step (trace-time). 128 bounds the live
+bilinear expansion (docstring above) to ~0.8 GB at B=16 f32; larger chunks
+amortize per-step overhead at more live memory. r4 note: the UNCHUNKED
+form OOMed the 16 GB chip."""
+
 ROI_HEAD = None
 """SERVING box-head compute dtype (trace-time knob, detect only). "bf16"
 casts the pooled features and box-head conv/fc weights to bfloat16 under
@@ -150,7 +166,7 @@ logits upcast to f32 before softmax/decode as always."""
 
 
 def roi_align_fpn(feats, boxes, image_size: int, out: int = 7, sampling: int = 2,
-                  chunk: int = 128, pyr_dtype=None):
+                  chunk: int | None = None, pyr_dtype=None):
     """Multi-scale RoIAlign: (N, 4) xyxy boxes -> (N, out, out, C).
 
     Canonical level mapping k = floor(4 + log2(sqrt(area)/224)) clamped to
@@ -259,6 +275,11 @@ def roi_align_fpn(feats, boxes, image_size: int, out: int = 7, sampling: int = 2
         x0p = jnp.maximum(jnp.minimum(x0, wi - 1), 0)
         ly = (yc - y0p)[:, :, None, None]  # (out, s, 1, 1)
         lx = (xc - x0p)[None, None]  # (1, 1, out, s)
+        if ROI_W16 and pyr.dtype == jnp.bfloat16:
+            # bf16 weighting over a bf16 pyramid (see ROI_W16): keeps the
+            # bilinear expansion in bf16 instead of promoting it to f32
+            ly = ly.astype(jnp.bfloat16)
+            lx = lx.astype(jnp.bfloat16)
         rows = jnp.broadcast_to(
             ro + y0p[:, :, None, None], (out, sampling, out, sampling)
         )
@@ -322,7 +343,7 @@ def roi_align_fpn(feats, boxes, image_size: int, out: int = 7, sampling: int = 2
         )
         return jnp.mean(val, axis=(1, 3))  # (out, out, C)
 
-    chunk = min(chunk, n)
+    chunk = min(ROI_CHUNK if chunk is None else chunk, n)
     pad = -n % chunk
 
     def padded(a, fill=0.0):

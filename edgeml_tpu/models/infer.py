@@ -272,7 +272,7 @@ def _zero_carry(net: YoloV5, batch: int, size: int, dtype=None, raw=None):
 
 
 def _detect_generic(net, params, stats, images, conf_thres, iou_thres,
-                    dtype=None):
+                    dtype=None, q8=None):
     """Anchor-family dispatch (SSDLite / RetinaNet / Faster R-CNN): forward +
     family postprocess, boxes returned as normalized (cls, xywh, conf) rows.
 
@@ -284,6 +284,10 @@ def _detect_generic(net, params, stats, images, conf_thres, iou_thres,
     Head outputs are cast back to f32 before decode/postprocess; Faster
     R-CNN keeps every decision stage (proposal decode/NMS, score softmax,
     box decode) in f32.
+
+    q8: optional Q8SSD.tree pytree (SSDLite only) — serves the int8
+    post-training-quantized trunk (models/quant_ssd.py); logits come out
+    f32 and ride the identical postprocess.
     """
 
     def cast(t):
@@ -292,11 +296,17 @@ def _detect_generic(net, params, stats, images, conf_thres, iou_thres,
             if getattr(a, "dtype", None) == jnp.float32 else a, t)
 
     kind = type(net).__name__
+    if q8 is not None and kind != "SSDLite":
+        raise ValueError("int8 (q8) serving: YOLO and SSDLite only")
     if kind == "SSDLite":
         from .ssd_loss import ssd_postprocess
         from .ssdlite import default_boxes
 
-        if dtype is not None:
+        if q8 is not None:
+            from .quant_ssd import q8_ssd_apply
+
+            cls_logits, reg = q8_ssd_apply(net, q8, images)
+        elif dtype is not None:
             (cls_logits, reg), _ = net.apply(
                 cast(params), cast(stats), images.astype(dtype), train=False
             )
@@ -385,25 +395,44 @@ def run_detection(
 
     q8 = None
     if isinstance(dtype, str) and dtype.startswith("int8"):
-        if not is_yolo:
-            raise ValueError("int8 serving is implemented for YOLO only")
+        is_ssd = type(net).__name__ == "SSDLite"
+        if not (is_yolo or is_ssd):
+            raise ValueError(
+                "int8 serving is implemented for YOLO and SSDLite only")
         from ..data.loader import decode_image
-        from .quant import prepare_int8
 
-        # "int8" keeps f32 scores; "int8-bf16" casts the dequantized obj/cls
-        # logits to bfloat16, enabling the keyed bf16 NMS tail (the fastest
-        # tail) behind the int8 trunk.
-        score_dt = jnp.bfloat16 if dtype == "int8-bf16" else None
         # calibrate on the serving distribution: the first batch of img_dir
         calib = [
             decode_image(os.path.join(img_dir, n))
             for n in names[: min(batch_size, len(names), 16)]
         ]
-        calib_arr, _ = letterbox_batch(calib, size)
-        q8 = prepare_int8(
-            net, params, stats, lambda i: jnp.asarray(calib_arr), iters=1
-        ).tree
-        dtype = score_dt  # the carry/score dtype on the quantized path
+        if is_yolo:
+            from .quant import prepare_int8
+
+            # "int8" keeps f32 scores; "int8-bf16" casts the dequantized
+            # obj/cls logits to bfloat16, enabling the keyed bf16 NMS tail
+            # (the fastest tail) behind the int8 trunk.
+            score_dt = jnp.bfloat16 if dtype == "int8-bf16" else None
+            calib_arr, _ = letterbox_batch(calib, size)
+            q8 = prepare_int8(
+                net, params, stats, lambda i: jnp.asarray(calib_arr), iters=1
+            ).tree
+            dtype = score_dt  # the carry/score dtype on the quantized path
+        else:
+            from ..data.loader import resize_bilinear
+            from .quant_ssd import prepare_int8_ssd
+
+            # calibration must see the SERVING preprocessing (square resize
+            # + torchvision normalize — make_batch below)
+            mean = np.array([0.485, 0.456, 0.406], np.float32)
+            std = np.array([0.229, 0.224, 0.225], np.float32)
+            calib_arr = (np.stack(
+                [resize_bilinear(im, size, size) for im in calib]
+            ) - mean) / std
+            q8 = prepare_int8_ssd(
+                net, params, stats, lambda i: jnp.asarray(calib_arr), iters=1
+            ).tree
+            dtype = None
 
     if mesh is not None:
         from ..parallel.mesh import replicate, shard_along
@@ -509,7 +538,7 @@ def run_detection(
         ):
             dets, valid = _detect_generic(
                 net, params, stats, place(arr), conf_thres, iou_thres,
-                dtype=dtype,
+                dtype=dtype, q8=q8,
             )
             save_batch(chunk_names, dets, valid)
 

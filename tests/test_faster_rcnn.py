@@ -166,7 +166,9 @@ def test_roi_pyr_bf16_close():
     got = np.asarray(
         roi_align_fpn(feats, boxes, 640, pyr_dtype=jnp.bfloat16)
     )
-    assert got.dtype == np.float32  # f32 weights promote the output back
-    # bf16 has ~2^-8 relative precision; bilinear averaging cannot amplify
+    # ROI_W16 (default on) keeps the whole weighting in bf16; the head
+    # upcasts after pooling (run_box_head). bf16 has ~2^-8 relative
+    # precision; bilinear averaging cannot amplify.
+    got = got.astype(np.float32)
     np.testing.assert_allclose(got, want, rtol=0, atol=4e-2)
     assert np.abs(got - want).max() > 0  # the knob actually changed values

@@ -237,10 +237,10 @@ def getargs():
                            "stages (proposals, NMS, box decode) in f32.")
     args.add_argument('--int8', action="store_true",
                       help="int8 post-training-quantized serving trunk "
-                           "(YOLO only; calibrated on the first batch of "
-                           "img_dir). Accuracy knob — see models/quant.py. "
-                           "Composes with --bf16 (int8 trunk + bf16 score "
-                           "tail).")
+                           "(YOLO and ssd; calibrated on the first batch of "
+                           "img_dir). Accuracy knob — see models/quant.py "
+                           "and models/quant_ssd.py. For YOLO composes "
+                           "with --bf16 (int8 trunk + bf16 score tail).")
     return args.parse_args()
 
 
