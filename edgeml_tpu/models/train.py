@@ -149,6 +149,32 @@ def amp_cast(tree, dtype, keep=("m", "v")):
     return jax.tree_util.tree_map_with_path(cast, tree)
 
 
+TRAIN_REMAT = None
+"""Rematerialization policy for the training forward (trace-time knob;
+clear the step cache after flipping). The r4 train ablation measured the
+backward at 3x the forward (theoretical FLOP ratio 2x) — the excess is
+saved-activation HBM traffic, which jax.checkpoint trades for recompute:
+
+  None      — no checkpointing (XLA saves what it likes);
+  "dots"    — save conv/matmul outputs, recompute elementwise (BN/SiLU)
+              in the backward: ~3x fewer saved activations per conv block;
+  "nothing" — save nothing, recompute the whole forward per backward
+              segment (max memory savings, max extra FLOPs).
+
+Decided by TPU A/B (tools/exp_remat.py); gradients are bit-identical
+(recompute re-runs the identical subgraph)."""
+
+
+def _remat_policy():
+    import jax.ad_checkpoint as adc
+
+    return {
+        None: None,
+        "dots": adc.checkpoint_policies.dots_with_no_batch_dims_saveable,
+        "nothing": adc.checkpoint_policies.nothing_saveable,
+    }[TRAIN_REMAT]
+
+
 def make_train_step(net: YoloV5, cfg: TrainConfig, dtype=None):
     """Build the jitted training step: (params, stats, opt_state, batch, lr)
     -> (params, stats, opt_state, loss, parts). Shard `images`/`targets`
@@ -164,10 +190,16 @@ def make_train_step(net: YoloV5, cfg: TrainConfig, dtype=None):
 
     @jax.jit
     def step(params, stats, opt_state, images, targets, target_valid, lr):
+        def fwd(p_c, x):
+            return net.apply(p_c, stats, x, train=True)
+
+        if TRAIN_REMAT is not None:
+            fwd = jax.checkpoint(fwd, policy=_remat_policy())
+
         def loss_fn(p):
             p_c = amp_cast(p, dtype)
             x = images if dtype is None else images.astype(dtype)
-            heads, new_stats, _ = net.apply(p_c, stats, x, train=True)
+            heads, new_stats, _ = fwd(p_c, x)
             if dtype is not None:
                 heads = [h.astype(jnp.float32) for h in heads]
             total, parts = yolo_loss(net, heads, targets, target_valid)

@@ -238,3 +238,43 @@ def test_dcsb_baseline_runs_and_predicts():
     res = fit_dcsb(data, np.asarray(gt_counts[:40]))
     assert set(np.unique(res["val_est"])) <= {0, 1}
     assert res["train_est"].shape == (40,)
+
+
+def test_tree_exact_splits_match_sklearn():
+    """Deterministic exact-split oracle (round-5 VERDICT #9): when every
+    distinct feature value lands in its own quantile bin, the histogram
+    tree's candidate split set equals the exact greedy tree's, so a single
+    unit-rate GBR stage (prediction = mean + depth-2 variance-reduction
+    tree on the residual) must reproduce sklearn's
+    DecisionTreeRegressor(max_depth=2) predictions — identical partition
+    and leaf means, not just 'comparable MSE'."""
+    from sklearn.tree import DecisionTreeRegressor
+
+    from edgeml_tpu.estimators.trees import _GBR, GBROpt
+
+    rng = np.random.default_rng(17)
+    n = 120
+    # few distinct values per feature, well separated -> one bin each
+    x = rng.integers(0, 7, size=(n, 3)).astype(np.float32) * 1.7 - 4.0
+    # ground truth depends on a depth-2 structure + noise to break gain ties
+    y = (
+        np.where(x[:, 0] > 0, 3.0, -2.0)
+        + np.where(x[:, 1] > -1.0, 1.0, 0.0) * np.where(x[:, 0] > 0, 1.0, -1.5)
+        + 0.01 * rng.normal(size=n)
+    ).astype(np.float64)
+
+    model = _GBR(GBROpt(n_estimators=1, learning_rate=1.0, subsample=1.0,
+                        max_depth=2, min_samples_split=2, n_bins=64))
+    state = model.fit(x, y)
+    got = np.asarray(model.predict(state, x), np.float64)
+
+    sk = DecisionTreeRegressor(max_depth=2, criterion="squared_error",
+                               random_state=0).fit(x, y)
+    want = sk.predict(x)
+    # identical partitions -> identical leaf means (f32 vs f64 rounding)
+    np.testing.assert_allclose(got, want, rtol=0, atol=2e-5)
+    # the partition itself: samples sharing a prediction must share a leaf
+    leaf = sk.apply(x)
+    for v in np.unique(np.round(got, 4)):
+        sel = np.abs(got - v) < 1e-4
+        assert len(np.unique(leaf[sel])) == 1, "partition mismatch"
