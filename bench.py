@@ -364,11 +364,14 @@ def run_families():
         from edgeml_tpu.models.quant_ssd import prepare_int8_ssd
 
         t0 = time.perf_counter()
+        # iters=1: the two prep programs (calib walk + quantize) paid a
+        # 19-minute remote compile at iters=2 (r5e); one batch halves the
+        # unrolled calib program and the .jax_cache amortizes re-runs.
         q8ssd = prepare_int8_ssd(
             net, params, stats,
             lambda i: hash_uniform(6000 + i, (8, net.image_size,
                                               net.image_size, 3)),
-            iters=2,
+            iters=1,
         ).tree
         float(jnp.sum(
             jax.tree_util.tree_leaves(q8ssd)[0].astype(jnp.float32)))

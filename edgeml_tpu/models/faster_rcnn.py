@@ -128,17 +128,18 @@ of 174.8 at B=8): the corner form's gathered-ROW count, not its bytes, was
 the wall (25.7 GB touched is a 31 ms bandwidth bound). A/B lives in
 tools/exp_nmsblock.py's sibling exp_roialign.py."""
 
-ROI_PYR = None
+ROI_PYR = "bf16"
 """SERVING RoIAlign pyramid storage dtype (trace-time knob, consumed by
 FasterRCNN.detect only — training always follows the training dtype). None
 follows the feature dtype (f32 under f32 serving, bf16 under bf16). "bf16"
-stores the level pyramid — a read-only gather operand — in bfloat16 under
-f32 serving too, halving the gathered bytes: r5c exp_roialign2 measured
-the full B=8 f32 detect at 115.4 ms (pyr f32) vs 102.8 (pyr bf16), +12%
-img/s. Bilinear weights and all downstream decode stay f32; the ~1e-2
-relative feature rounding is a documented f32-contract divergence
-(docs/DIVERGENCES.md) bounded by
-tests/test_faster_rcnn.py::test_roi_pyr_bf16_close."""
+(default since round 5) stores the level pyramid — a read-only gather
+operand — in bfloat16 under f32 serving too, halving the gathered bytes:
+r5c exp_roialign2 measured the full B=8 f32 detect at 115.4 ms (pyr f32)
+vs 102.8 (pyr bf16), +12% img/s. Bilinear weights and all downstream
+decode stay f32; the ~1e-2 relative feature rounding is a documented
+f32-contract divergence (docs/DIVERGENCES.md #19) bounded by
+tests/test_faster_rcnn.py::test_roi_pyr_bf16_close. Set to None for the
+strict all-f32 serving pipeline."""
 
 ROI_W16 = True
 """When the gathered pyramid is bfloat16 (bf16 serving, or ROI_PYR="bf16"

@@ -273,6 +273,12 @@ dryrun's 8-device host mesh) exercises the exact program — pallas_call,
 custom_partitioning rule and all — that TPU serving runs."""
 
 
+FUSED_MAX_K = 2048
+"""Largest K routed to the fused Pallas suppressor (trace-time; tools set
+1024/0 for A/Bs against the XLA fixpoint). K <= 1024 is the monolithic
+VMEM kernel; (1024, 2048] the blocked-greedy kernel."""
+
+
 def _emit_batch(cand_boxes, top_scores, cls_idx, iou_thres, max_det):
     """Batched _emit over (B, K, ...) candidates.
 
@@ -286,14 +292,14 @@ def _emit_batch(cand_boxes, top_scores, cls_idx, iou_thres, max_det):
     kernel shards over images via its custom_partitioning rule."""
     k = top_scores.shape[-1]
     force = FORCE_FUSED_INTERPRET
-    # K cap 1024: K=2048 crashes the axon remote compiler (HTTP 500,
-    # tpu_compile_helper exit 1, ~3 s — a Mosaic front-end crash, measured
-    # round 4 at every tj in {64, 128, 256, 512}; earlier tj=256 failed the
-    # 16 MB scoped-vmem budget cleanly at 16.52 MB). K=2048 callers
-    # (SSDLite/RetinaNet postprocess, max_cand=2048) take the XLA fixpoint
-    # below — the exact same math, and the path their round-3 numbers came
-    # from. Revisit if the compiler service gets fixed.
-    if (jax.default_backend() != "cpu" or force) and k % 256 == 0 and k <= 1024:
+    # K <= 1024 runs the monolithic VMEM kernel; K in (1024, 2048] the
+    # blocked-greedy kernel (round 5, nms_fused._kernel_blocked): no (K, K)
+    # scratch, so it avoids both the 16 MB scoped-vmem ceiling and the
+    # monolithic-K=2048 remote-compiler crash (HTTP 500 at every tj,
+    # round 4). The K=2048 callers (SSDLite/RetinaNet postprocess,
+    # max_cand=2048) ride it; larger K takes the XLA fixpoint below.
+    if (jax.default_backend() != "cpu" or force) and k % 256 == 0 \
+            and k <= FUSED_MAX_K:
         from .nms_fused import greedy_keep_mask_fused
 
         off = cand_boxes + cls_idx[..., None] * MAX_WH

@@ -78,18 +78,92 @@ def _kernel(off_ref, offt_ref, valid_ref, out_ref, sup_ref, *, iou_thres, tj):
     out_ref[:] = kept.astype(jnp.float32)
 
 
+def _kernel_blocked(off_ref, offt_ref, valid_ref, out_ref, rows_ref,
+                    *, iou_thres, blk, tj):
+    """Blocked-greedy fused suppressor (K > 1024): the NMS_BLOCK math
+    (ops/nms.py greedy_keep_mask, blocked branch) inside one kernel. The
+    full (K, K) suppression matrix NEVER materializes — VMEM holds one
+    (blk, K) row-block at a time, built tile-by-tile, used for (a) the
+    decided-prefix hit matvec and (b) the in-block (blk, blk) fixpoint —
+    so both the 16 MB scoped-vmem ceiling and the monolithic-K=2048
+    program shape (the remote-compiler crash repro) disappear. Math is
+    op-identical to the blocked XLA formulation => bit-identical keeps."""
+    k = off_ref.shape[0]
+    x1r = offt_ref[0:1, :]  # (1, K) row coordinate vectors
+    y1r = offt_ref[1:2, :]
+    x2r = offt_ref[2:3, :]
+    y2r = offt_ref[3:4, :]
+    area_r = jnp.maximum(x2r - x1r, 0.0) * jnp.maximum(y2r - y1r, 0.0)
+    valid = valid_ref[:].astype(jnp.bfloat16)  # (1, K) 0/1
+    kept = jnp.zeros((1, k), jnp.bfloat16)
+    for t in range(k // blk):
+        # build this block's sup rows: rows[j, i] = iou(bj, i) & (i < bj),
+        # global row index bj = t*blk + j (j suppressed-by i)
+        for u in range(blk // tj):
+            s = slice(t * blk + u * tj, t * blk + (u + 1) * tj)
+            x1c = off_ref[s, 0:1]  # (TJ, 1) column vectors
+            y1c = off_ref[s, 1:2]
+            x2c = off_ref[s, 2:3]
+            y2c = off_ref[s, 3:4]
+            ix = jnp.minimum(x2c, x2r) - jnp.maximum(x1c, x1r)  # (TJ, K)
+            iy = jnp.minimum(y2c, y2r) - jnp.maximum(y1c, y1r)
+            inter = jnp.maximum(ix, 0.0) * jnp.maximum(iy, 0.0)
+            area_c = jnp.maximum(x2c - x1c, 0.0) * jnp.maximum(y2c - y1c, 0.0)
+            iou = inter / jnp.maximum(area_c + area_r - inter, 1e-12)
+            jidx = (jax.lax.broadcasted_iota(jnp.int32, (tj, k), 0)
+                    + t * blk + u * tj)
+            iidx = jax.lax.broadcasted_iota(jnp.int32, (tj, k), 1)
+            rows_ref[u * tj:(u + 1) * tj, :] = jnp.where(
+                (iou > iou_thres) & (iidx < jidx), 1.0, 0.0
+            ).astype(jnp.bfloat16)
+        # decided-prefix hits: kept (1, K) . rows (blk, K) over K -> (1, blk)
+        # (undecided/later entries of kept are 0, in-block cols masked by
+        # iidx < jidx only count in-block EARLIER rows — still 0 in kept)
+        hit_prev = jax.lax.dot_general(
+            kept, rows_ref[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (1, blk)
+        vb = valid[0:1, t * blk:(t + 1) * blk]
+        free = vb * (1.0 - jnp.minimum(hit_prev, 1.0)).astype(jnp.bfloat16)
+        tile = rows_ref[:, t * blk:(t + 1) * blk]  # (blk_j, blk_i)
+
+        def cond(c):
+            return c[1] > 0.0
+
+        def body(c):
+            kb, _ = c
+            hit = jax.lax.dot_general(
+                kb, tile, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            new = free * (1.0 - jnp.minimum(hit, 1.0)).astype(jnp.bfloat16)
+            changed = jnp.sum((new - kb).astype(jnp.float32) ** 2)
+            return new, changed
+
+        kb, _ = jax.lax.while_loop(cond, body, (free, jnp.float32(1.0)))
+        kept = jax.lax.dynamic_update_slice(kept, kb, (0, t * blk))
+    out_ref[:] = kept.astype(jnp.float32)
+
+
 def _pallas_call(off, offt, sc, iou_thres: float, interpret: bool):
     """The raw kernel launch on whatever (local) batch it is handed."""
     b, k, _ = off.shape
-    # K is capped at 1024 by the _emit_batch gate (ops/nms.py): K=2048
-    # crashes the axon remote compiler at EVERY tj in {64, 128, 256, 512}
-    # (HTTP 500 in ~3 s, round 4; before that, tj=256 exceeded the 16 MB
-    # scoped-vmem budget at 16.52 MB — sup scratch k*k bf16 + ~4 live
-    # (tj, k) f32 tile temporaries). tj=256 is the measured-fast tile at
-    # K<=1024.
-    tj = 256
+    if k > 1024:
+        # Blocked-greedy kernel: no (K, K) scratch (the monolithic K=2048
+        # program crashed the axon remote compiler at every tj in
+        # {64, 128, 256, 512}, HTTP 500 in ~3 s, round 4; before that
+        # tj=256 exceeded the 16 MB scoped-vmem budget at 16.52 MB).
+        blk = 256
+        kern = functools.partial(
+            _kernel_blocked, iou_thres=float(iou_thres), blk=blk, tj=128
+        )
+        scratch = [pltpu.VMEM((blk, k), jnp.bfloat16)]
+    else:
+        # monolithic kernel, tj=256 — the measured-fast tile at K<=1024
+        kern = functools.partial(_kernel, iou_thres=float(iou_thres), tj=256)
+        scratch = [pltpu.VMEM((k, k), jnp.bfloat16)]
     return pl.pallas_call(
-        functools.partial(_kernel, iou_thres=float(iou_thres), tj=tj),
+        kern,
         grid=(b,),
         in_specs=[
             pl.BlockSpec((None, k, 4), lambda i: (i, 0, 0),
@@ -102,7 +176,7 @@ def _pallas_call(off, offt, sc, iou_thres: float, interpret: bool):
         out_specs=pl.BlockSpec((None, 1, k), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, 1, k), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((k, k), jnp.bfloat16)],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(off, offt, sc)
 
@@ -157,8 +231,9 @@ def greedy_keep_mask_fused(boxes: jax.Array, scores: jax.Array,
     """Batched fused greedy-NMS survivor masks.
 
     :param boxes: (B, K, 4) xyxy (class offsets already applied), each image
-        sorted by DESCENDING score; K must be a multiple of 256 and <= 1024
-        (larger K crashes the axon remote compiler — see _pallas_call).
+        sorted by DESCENDING score; K must be a multiple of 256. K <= 1024
+        runs the monolithic VMEM kernel; larger K the blocked-greedy kernel
+        (_kernel_blocked — no (K, K) scratch, full matrix streamed once).
     :param scores: (B, K); entries <= 0 never participate.
     :param interpret: run the kernel in the Pallas interpreter (CPU tests).
     :return: (B, K) bool — identical to vmap(greedy_keep_mask).

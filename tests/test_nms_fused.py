@@ -106,3 +106,25 @@ def test_mesh_serving_emit_path_runs_fused_kernel():
         nms_split_batch.clear_cache()
     np.testing.assert_array_equal(np.asarray(v), np.asarray(v_ref))
     np.testing.assert_array_equal(np.asarray(d), np.asarray(d_ref))
+
+
+@pytest.mark.parametrize("k,hot", [(2048, 400), (1536, 40), (2048, 1900)])
+def test_blocked_fused_matches_xla_fixpoint(k, hot):
+    """K > 1024 rides the blocked-greedy kernel (nms_fused._kernel_blocked
+    — no (K, K) scratch; round-5 un-gating of the SSDLite/RetinaNet
+    max_cand=2048 suppression). Bit-identical to the XLA fixpoint on
+    clustered (long-chain) and sparse workloads, invalid tail included."""
+    rng = np.random.default_rng(k + hot)
+    b = 2
+    centers = rng.uniform(50, 600, (b, hot, 2))
+    idx = rng.integers(0, hot, (b, k))
+    c = np.take_along_axis(centers, idx[..., None], axis=1) \
+        + rng.normal(0, 6, (b, k, 2))
+    wh = np.exp(rng.uniform(np.log(10), np.log(80), (b, k, 2)))
+    boxes = np.concatenate([c - wh / 2, c + wh / 2], -1).astype(np.float32)
+    scores = np.sort(rng.random((b, k)).astype(np.float32))[:, ::-1].copy()
+    scores[:, -k // 8:] = 0.0
+    bj, sj = jnp.asarray(boxes), jnp.asarray(scores)
+    want = jax.vmap(lambda bb, ss: greedy_keep_mask(bb, ss, 0.55))(bj, sj)
+    got = greedy_keep_mask_fused(bj, sj, 0.55, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
