@@ -295,7 +295,43 @@ accumulated in f32, so summation order cannot matter). Default ON: measured
 v5e round 4 (tools/exp_orie2.py stage 3c vs 3): 27.18 vs 29.56 ms/512-draw
 batch (+8.8% ORIE throughput), bit-exact vs the scan confirmed on-device.
 Read at trace time: flip + clear_cache of jitted callers
-(reward.orie._orie_batch, map_from_masks)."""
+(reward.orie._orie_batch, map_from_masks).
+
+Values: True — one (K, K) triangular matmul (O(K^2) FLOPs per row);
+"blocked" — two-level blocked form (within-block (blk, blk) triangular +
+block-offset pass): O(K*blk) FLOPs per row, a ~K/blk FLOP cut that grows
+with the pool (K=2688 at COCO-val-5k scale vs 1152 at the N=2048 bench
+scale — the measured ORIE scale cliff is exactly this K^2 term). Exact
+for the same integer reasons, per level (block sums <= blk=128 are exact
+bf16 integers). False — VPU lane scan. A/B: tools/exp_cumblk.py."""
+
+
+def _cumsum01_blocked(x: jax.Array, blk: int = 128) -> jax.Array:
+    """Inclusive 0/1 cumsum along the last axis via two exact levels:
+    within-block triangular matmuls + a block-offset pass (see MM_CUMSUM
+    "blocked"). Requires K % blk == 0 (build_pool rounds K to 128)."""
+    k = x.shape[-1]
+    assert k % blk == 0, (k, blk)
+    nb = k // blk
+    flat = x.reshape(-1, nb, blk).astype(jnp.bfloat16)
+    tri = (
+        jax.lax.iota(jnp.int32, blk)[:, None]
+        <= jax.lax.iota(jnp.int32, blk)[None, :]
+    ).astype(jnp.bfloat16)
+    within = jax.lax.dot_general(
+        flat, tri, (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (rows, nb, blk) inclusive within-block counts
+    sums = within[..., -1]  # (rows, nb) block sums <= blk (bf16-exact)
+    tri2 = (
+        jax.lax.iota(jnp.int32, nb)[:, None]
+        < jax.lax.iota(jnp.int32, nb)[None, :]
+    ).astype(jnp.bfloat16)  # STRICT: exclusive block offsets
+    offs = jax.lax.dot_general(
+        sums.astype(jnp.bfloat16), tri2, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (rows, nb)
+    return (within + offs[..., None]).reshape(x.shape)
 
 MM_LM_ROWS = False
 """Route orie_map_pair's per-draw (C, K) mask gather through a one-hot
@@ -336,9 +372,11 @@ def _ap_from_sel(pool, sel, nt):
     tp_t = jnp.moveaxis(pool.tp, 2, 1)  # (C, T, K)
 
     if MM_CUMSUM:
+        cs = (_cumsum01_blocked if MM_CUMSUM == "blocked"
+              else _cumsum01_lastaxis)
         inc = tp_t.astype(dtype) * m[:, None, :]  # (C, T, K) 0/1
-        tpc = _cumsum01_lastaxis(inc)
-        npred = _cumsum01_lastaxis(m)  # (C, K)
+        tpc = cs(inc)
+        npred = cs(m)  # (C, K)
         fpc = npred[:, None, :] - tpc
         per_t = jax.vmap(ap_interp101, in_axes=(0, 0, None))
         return jax.vmap(per_t)(tpc, fpc, nt)  # (C, T)

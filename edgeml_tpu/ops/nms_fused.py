@@ -79,7 +79,7 @@ def _kernel(off_ref, offt_ref, valid_ref, out_ref, sup_ref, *, iou_thres, tj):
 
 
 def _kernel_blocked(off_ref, offt_ref, valid_ref, out_ref, rows_ref,
-                    *, iou_thres, blk, tj):
+                    kept_ref, *, iou_thres, blk, tj):
     """Blocked-greedy fused suppressor (K > 1024): the NMS_BLOCK math
     (ops/nms.py greedy_keep_mask, blocked branch) inside one kernel. The
     full (K, K) suppression matrix NEVER materializes — VMEM holds one
@@ -95,7 +95,10 @@ def _kernel_blocked(off_ref, offt_ref, valid_ref, out_ref, rows_ref,
     y2r = offt_ref[3:4, :]
     area_r = jnp.maximum(x2r - x1r, 0.0) * jnp.maximum(y2r - y1r, 0.0)
     valid = valid_ref[:].astype(jnp.bfloat16)  # (1, K) 0/1
-    kept = jnp.zeros((1, k), jnp.bfloat16)
+    # kept lives in a VMEM scratch written with STATIC slices per block —
+    # value-side dynamic_update_slice does not lower on real TPUs (Mosaic
+    # NotImplementedError, r5f), while static ref stores do.
+    kept_ref[:] = jnp.zeros((1, k), jnp.bfloat16)
     for t in range(k // blk):
         # build this block's sup rows: rows[j, i] = iou(bj, i) & (i < bj),
         # global row index bj = t*blk + j (j suppressed-by i)
@@ -120,7 +123,7 @@ def _kernel_blocked(off_ref, offt_ref, valid_ref, out_ref, rows_ref,
         # (undecided/later entries of kept are 0, in-block cols masked by
         # iidx < jidx only count in-block EARLIER rows — still 0 in kept)
         hit_prev = jax.lax.dot_general(
-            kept, rows_ref[:], (((1,), (1,)), ((), ())),
+            kept_ref[:], rows_ref[:], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (1, blk)
         vb = valid[0:1, t * blk:(t + 1) * blk]
@@ -141,8 +144,8 @@ def _kernel_blocked(off_ref, offt_ref, valid_ref, out_ref, rows_ref,
             return new, changed
 
         kb, _ = jax.lax.while_loop(cond, body, (free, jnp.float32(1.0)))
-        kept = jax.lax.dynamic_update_slice(kept, kb, (0, t * blk))
-    out_ref[:] = kept.astype(jnp.float32)
+        kept_ref[0:1, t * blk:(t + 1) * blk] = kb
+    out_ref[:] = kept_ref[:].astype(jnp.float32)
 
 
 def _pallas_call(off, offt, sc, iou_thres: float, interpret: bool):
@@ -157,7 +160,8 @@ def _pallas_call(off, offt, sc, iou_thres: float, interpret: bool):
         kern = functools.partial(
             _kernel_blocked, iou_thres=float(iou_thres), blk=blk, tj=128
         )
-        scratch = [pltpu.VMEM((blk, k), jnp.bfloat16)]
+        scratch = [pltpu.VMEM((blk, k), jnp.bfloat16),
+                   pltpu.VMEM((1, k), jnp.bfloat16)]
     else:
         # monolithic kernel, tj=256 — the measured-fast tile at K<=1024
         kern = functools.partial(_kernel, iou_thres=float(iou_thres), tj=256)

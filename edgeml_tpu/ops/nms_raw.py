@@ -168,11 +168,11 @@ def _gather_rows_raw(box_pre, obj_s, xy, wh, cls):
             oh_lo = (
                 (box_pre % blk)[:, None] == jax.lax.iota(jnp.int32, blk)[None, :]
             ).astype(cls.dtype)
-            rows = jax.lax.dot_general(
-                oh_lo[:, None, :], rows_blk,
-                (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=cls.dtype,
-            )[:, 0, :]
+            # offset select as a fused VPU multiply-reduce, NOT a batched
+            # (1, blk) x (blk, c) dot: g tiny per-batch matmuls lower
+            # terribly on the MXU (suspected cause of the r5b negative).
+            # Single nonzero per row => the sum is an exact pass-through.
+            rows = jnp.sum(rows_blk * oh_lo[:, :, None], axis=1)
             return (
                 rows[:, :nc], rows[:, nc], rows[:, nc + 1 : nc + 3],
                 rows[:, nc + 3 : nc + 5],

@@ -107,15 +107,20 @@ def test_mm_variants_bit_exact():
         return np.asarray(rewards), np.asarray(pair)
 
     rng_fixed = np.random.default_rng(77).random(n)
+    saved = (mk.MM_LM_ROWS, mk.MM_CUMSUM)
+    mk.MM_LM_ROWS = mk.MM_CUMSUM = False
     base_r, base_p = run()
     try:
-        for rows, cs in ((True, False), (False, True), (True, True)):
+        for rows, cs in ((True, False), (False, True), (True, True),
+                         (False, "blocked"), (True, "blocked")):
             mk.MM_LM_ROWS, mk.MM_CUMSUM = rows, cs
             got_r, got_p = run()
             np.testing.assert_array_equal(got_r, base_r)
             np.testing.assert_array_equal(got_p, base_p)
     finally:
-        mk.MM_LM_ROWS = mk.MM_CUMSUM = False
+        # restore the PRODUCTION defaults, not False (an earlier version
+        # left MM_CUMSUM=False for the rest of the test process)
+        mk.MM_LM_ROWS, mk.MM_CUMSUM = saved
         _orie_batch.clear_cache()
 
 
