@@ -173,11 +173,13 @@ def test_int8_run_detection_writes_files(tmp_path):
             assert (rows[:, 0] >= 0).all() and (rows[:, 0] < 8).all()
 
 
-def test_int8_rejected_for_non_yolo(tmp_path):
+def test_int8_rejected_for_unsupported_family(tmp_path):
+    # SSDLite gained int8 PTQ in round 5 (models/quant_ssd.py); RetinaNet
+    # and Faster R-CNN still reject the knob.
     from edgeml_tpu.models.infer import run_detection
-    from edgeml_tpu.models.ssdlite import SSDLite
+    from edgeml_tpu.models.retinanet import RetinaNet
 
-    net = SSDLite(num_classes=8, image_size=64)
+    net = RetinaNet(num_classes=7, image_size=256)
     with pytest.raises(ValueError, match="int8"):
         run_detection(net, {}, {}, str(tmp_path), str(tmp_path / "o"),
                       dtype="int8")
