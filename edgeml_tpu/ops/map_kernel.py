@@ -78,7 +78,88 @@ class DetectionPool:
         return self.tp.shape[2]
 
 
-def build_pool(weak_data, strong_data, labels, num_classes: int | None = None) -> DetectionPool:
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class BucketedPool:
+    """A DetectionPool split into per-class-count buckets.
+
+    Per-draw mAP work over a plain pool is C x K with K = the MAX per-class
+    detection count — but class counts are heavy-tailed (COCO 'person'
+    dominates), so most of the (C, K) tile is padding: at COCO-val-5k scale
+    the measured waste is ~4x (K=2688 vs a ~650 mean count). Splitting the
+    classes into a few buckets, each padded only to ITS max count (rounded
+    to the 128-lane tile), cuts sum_b C_b*K_b without changing any per-class
+    AP: every class keeps exactly its rows in the same confidence order, and
+    the dataset mean just accumulates per-bucket partial sums (float
+    reassociation only — parity pinned by tests/test_map_kernel.py).
+
+    Built by build_pool(buckets=...); consumed transparently by
+    map_from_masks / map_per_threshold / orie_map_pair / dataset_map.
+    """
+
+    pools: tuple  # tuple[DetectionPool, ...]
+
+    def tree_flatten(self):
+        return (self.pools,), ()
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0])
+
+    @property
+    def num_images(self) -> int:
+        return self.pools[0].num_images
+
+    @property
+    def num_iou_thresholds(self) -> int:
+        return self.pools[0].num_iou_thresholds
+
+
+def _bucket_splits(counts: np.ndarray, buckets: int) -> list[np.ndarray]:
+    """Partition class indices into <= `buckets` groups minimizing
+    sum_b C_b * ceil128(max count in b). Classes sorted by count descending;
+    contiguous prefixes are optimal for this cost (a bucket's K is its
+    largest member), so exhaustive split-point search over the sorted order
+    suffices (C <= ~100: trivial)."""
+    order = np.argsort(-counts, kind="stable")
+    sc = counts[order]
+    c = len(sc)
+    r128 = lambda k: max(-(-int(k) // 128) * 128, 128)
+    cost_seg = lambda i, j: (j - i) * r128(sc[i])  # [i, j) — sc[i] is max
+
+    best: dict[tuple[int, int], tuple[int, list[int]]] = {}
+
+    def solve(i, b):  # min cost covering [i, c) with <= b segments
+        if i >= c:
+            return 0, []
+        if b == 1:
+            return cost_seg(i, c), [c]
+        if (i, b) in best:
+            return best[(i, b)]
+        res = None
+        # descending j: on cost ties prefer the LONGEST first segment, i.e.
+        # the fewest actual splits (tiny pools otherwise split for no gain)
+        for j in range(c, i, -1):
+            sub, cuts = solve(j, b - 1)
+            tot = cost_seg(i, j) + sub
+            if res is None or tot < res[0]:
+                res = (tot, [j] + cuts)
+        best[(i, b)] = res
+        return res
+
+    _, cuts = solve(0, max(buckets, 1))
+    out, start = [], 0
+    for j in cuts:
+        if j > start:
+            out.append(order[start:j])
+        start = j
+    return out
+
+
+def build_pool(
+    weak_data, strong_data, labels, num_classes: int | None = None,
+    buckets: int | None = None,
+):
     """Host-side construction of a DetectionPool.
 
     :param weak_data: list over images of (tp (n, T) bool, conf (n,), cls (n,))
@@ -88,8 +169,12 @@ def build_pool(weak_data, strong_data, labels, num_classes: int | None = None) -
     :param labels: list over images of (m,) integer label-class arrays
         (possibly empty).
     :param num_classes: optional total class count; inferred if omitted.
-    :return: a DetectionPool on the default device.
+    :param buckets: max class-count buckets (see BucketedPool). None takes
+        the module default POOL_BUCKETS; 1 forces a single flat pool.
+    :return: a DetectionPool (or BucketedPool) on the default device.
     """
+    if buckets is None:
+        buckets = POOL_BUCKETS
     n_img = len(labels)
     assert len(weak_data) == n_img and len(strong_data) == n_img
 
@@ -169,6 +254,25 @@ def build_pool(weak_data, strong_data, labels, num_classes: int | None = None) -
         l = np.asarray(l, dtype=np.int64).reshape(-1)
         for c in l:
             hist[i, cls_pos[int(c)]] += 1.0
+
+    def mk(cls_sel, k_cap):
+        return DetectionPool(
+            tp=jnp.asarray(tp_a[cls_sel, :k_cap]),
+            img=jnp.asarray(img_a[cls_sel, :k_cap]),
+            strong=jnp.asarray(strong_a[cls_sel, :k_cap]),
+            valid=jnp.asarray(valid_a[cls_sel, :k_cap]),
+            hist=jnp.asarray(hist[:, cls_sel]),
+            class_ids=tuple(int(class_ids[c]) for c in cls_sel),
+        )
+
+    if buckets is not None and buckets > 1 and C > 1:
+        groups = _bucket_splits(counts.astype(np.int64), buckets)
+        if len(groups) > 1:
+            pools = tuple(
+                mk(g, min(max(-(-int(counts[g].max()) // 128) * 128, 128), K))
+                for g in groups
+            )
+            return BucketedPool(pools)
 
     return DetectionPool(
         tp=jnp.asarray(tp_a),
@@ -262,9 +366,9 @@ def map_from_masks(
         NaN when no selected image has labels (the reference maps NaN -> 0 at
         the reward level, reward.py:86).
     """
-    ap, has_labels = _ap_matrix(pool, weak_sel, strong_sel, label_sel)
-    denom = jnp.sum(has_labels) * ap.shape[1]
-    return jnp.sum(ap * has_labels[:, None]) / denom  # NaN when denom == 0
+    sum_ap, n_has = _ap_sums(pool, weak_sel, strong_sel, label_sel)
+    denom = n_has * sum_ap.shape[0]
+    return jnp.sum(sum_ap) / denom  # NaN when denom == 0
 
 
 def map_per_threshold(
@@ -275,8 +379,24 @@ def map_per_threshold(
 ) -> jax.Array:
     """Per-IoU-threshold mAP (T,) for one subset selection — the (C, T) AP
     matrix is computed once; no per-threshold pool re-slicing needed."""
+    sum_ap, n_has = _ap_sums(pool, weak_sel, strong_sel, label_sel)
+    return sum_ap / n_has
+
+
+def _ap_sums(pool, weak_sel, strong_sel, label_sel):
+    """(sum over classes of AP*has (T,), number of labelled classes) for one
+    subset selection. BucketedPool: per-bucket partial sums accumulate —
+    the same per-class terms, reassociated."""
+    if isinstance(pool, BucketedPool):
+        parts = [
+            _ap_sums(p, weak_sel, strong_sel, label_sel) for p in pool.pools
+        ]
+        return (
+            jnp.sum(jnp.stack([p[0] for p in parts]), axis=0),
+            jnp.sum(jnp.stack([p[1] for p in parts])),
+        )
     ap, has_labels = _ap_matrix(pool, weak_sel, strong_sel, label_sel)
-    return jnp.sum(ap * has_labels[:, None], axis=0) / jnp.sum(has_labels)
+    return jnp.sum(ap * has_labels[:, None], axis=0), jnp.sum(has_labels)
 
 
 def _ap_matrix(pool, weak_sel, strong_sel, label_sel):
@@ -287,15 +407,25 @@ def _ap_matrix(pool, weak_sel, strong_sel, label_sel):
     return _ap_from_sel(pool, sel, nt), (nt > 0).astype(dtype)
 
 
-MM_CUMSUM = True
+POOL_BUCKETS = 1
+"""Default class-count bucketing for build_pool (see BucketedPool): 1 =
+one flat (C, K) pool; b > 1 = up to b per-class-count buckets, cutting the
+per-draw mAP work from C*K_max toward the true detection mass (~4x less
+padding at COCO-val-5k scale, where K_max=2688 is set by 'person' alone).
+Read at pool-BUILD time (host), not trace time. A/B: tools/exp_bucket.py."""
+
+MM_CUMSUM = "blocked"
 """Route _ap_from_sel's per-draw cumsums through triangular MXU matmuls
 instead of the VPU lane scan. Bit-exact (operands are 0/1 — exact in the
 MXU's bf16 operand rounding — and every partial sum is an integer < 2^24
-accumulated in f32, so summation order cannot matter). Default ON: measured
-v5e round 4 (tools/exp_orie2.py stage 3c vs 3): 27.18 vs 29.56 ms/512-draw
-batch (+8.8% ORIE throughput), bit-exact vs the scan confirmed on-device.
-Read at trace time: flip + clear_cache of jitted callers
-(reward.orie._orie_batch, map_from_masks).
+accumulated in f32, so summation order cannot matter). Full-matmul form
+measured +8.8% over the scan (r4 tools/exp_orie2.py stage 3c vs 3: 27.18
+vs 29.56 ms/512-draw batch); default "blocked" since r5i (tools/
+exp_cumblk.py): neutral at the N=2048 bench scale (16,132 vs 16,028 img/s)
+and +10% at COCO-val-5k scale (7,400 vs 6,716 — the O(K^2) triangular
+term was the measured scale cliff), bit-exact on-device at both. Read at
+trace time: flip + clear_cache of jitted callers (reward.orie._orie_batch,
+map_from_masks).
 
 Values: True — one (K, K) triangular matmul (O(K^2) FLOPs per row);
 "blocked" — two-level blocked form (within-block (blk, blk) triangular +
@@ -411,6 +541,21 @@ def orie_map_pair(pool: DetectionPool, in_ens: jax.Array, target: jax.Array):
         minus target), not a corrupted strong-eval weak selection.
     :param target: scalar int — the target image index.
     """
+    if isinstance(pool, BucketedPool):
+        parts = [_pair_sums(p, in_ens, target) for p in pool.pools]
+        wsum = jnp.sum(jnp.stack([p[0] for p in parts]))
+        ssum = jnp.sum(jnp.stack([p[1] for p in parts]))
+        hsum = jnp.sum(jnp.stack([p[2] for p in parts]))
+        denom = hsum * pool.num_iou_thresholds
+        return wsum / denom, ssum / denom
+    wsum, ssum, hsum = _pair_sums(pool, in_ens, target)
+    denom = hsum * pool.tp.shape[2]
+    return wsum / denom, ssum / denom
+
+
+def _pair_sums(pool: DetectionPool, in_ens: jax.Array, target: jax.Array):
+    """(sum_C,T ap_weak*has, sum_C,T ap_strong*has, sum has) for one draw —
+    the bucket-combinable core of orie_map_pair."""
     dtype = jnp.float32
     lmask = in_ens | (jnp.arange(pool.num_images) == target)
     nt = jnp.matmul(lmask.astype(dtype), pool.hist, preferred_element_type=dtype)
@@ -437,13 +582,12 @@ def orie_map_pair(pool: DetectionPool, in_ens: jax.Array, target: jax.Array):
     # strong eval: weak_sel = in_ens = lmask & ~is_target, strong_sel = is_target
     sel_strong = jnp.where(pool.strong, is_t, lm_rows & ~is_t)
     has = (nt > 0).astype(dtype)
-    denom = jnp.sum(has) * pool.tp.shape[2]
 
-    def mean_ap(sel):
+    def ap_sum(sel):
         ap = _ap_from_sel(pool, sel, nt)
-        return jnp.sum(ap * has[:, None]) / denom  # NaN when denom == 0
+        return jnp.sum(ap * has[:, None])
 
-    return mean_ap(sel_weak), mean_ap(sel_strong)
+    return ap_sum(sel_weak), ap_sum(sel_strong), jnp.sum(has)
 
 
 def dataset_map(pool: DetectionPool, offload_mask: jax.Array) -> jax.Array:

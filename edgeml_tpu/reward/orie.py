@@ -107,8 +107,9 @@ def orie_rewards(
         # (cumsums, precision, envelope, interp operands) x2 (weak+strong).
         # Cap at 512: device time per launch is tiny (the tunnel dispatch
         # dominates), but XLA compile time grows with the vmap width.
-        c, k, t = pool.tp.shape
-        per_img = max(16 * c * k * t * 4, 1)
+        subpools = pool.pools if hasattr(pool, "pools") else (pool,)
+        ckt = sum(int(np.prod(p.tp.shape)) for p in subpools)
+        per_img = max(16 * ckt * 4, 1)
         batch = int(min(max(4 * 2**30 // per_img, 1), 512))
 
     if mesh is not None:

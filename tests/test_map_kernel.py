@@ -136,3 +136,87 @@ def test_vmap_over_masks():
             weak, strong, labels, ~masks[k], masks[k], np.ones(n, bool)
         )
         assert float(batched[k]) == pytest.approx(want, abs=2e-5)
+
+
+def _skew_class0(stream, rng, n=150):
+    """Append n FP-only class-0 detections to stream[0] — makes class 0's
+    pool row >128 so the bucket DP actually splits (it declines to split
+    pools whose classes all fit one 128-lane tile). All-False tp is always
+    matcher-consistent (pure false positives)."""
+    tp0, conf0, cls0 = stream[0]
+    t = tp0.shape[1] if tp0.size else 1
+    stream[0] = (
+        np.concatenate([tp0.reshape(-1, t), np.zeros((n, t), bool)]),
+        np.concatenate([conf0, np.round(rng.random(n), 6)]),
+        np.concatenate([cls0, np.zeros(n, np.int64)]),
+    )
+
+
+def test_bucketed_pool_matches_flat():
+    """BucketedPool keeps every per-class AP identical (same rows, same
+    order); the dataset mean only reassociates the per-class float sums, so
+    mAP / per-threshold mAP / ORIE rewards match the flat pool to float
+    tolerance. Also checks the partition itself: classes disjoint, complete,
+    and every bucket's K covers its largest class."""
+    from edgeml_tpu.ops import map_kernel as mk
+    from edgeml_tpu.reward.orie import _orie_batch
+
+    rng = np.random.default_rng(31)
+    weak, strong, labels = make_random_dataset(rng, n_img=24)
+    _skew_class0(weak, rng, n=150)  # heavy-tail so bucketing actually pays
+    flat = build_pool(weak, strong, labels, buckets=1)
+    buck = build_pool(weak, strong, labels, buckets=3)
+    assert isinstance(buck, mk.BucketedPool)
+    assert 2 <= len(buck.pools) <= 3
+    # partition sanity
+    all_ids = sorted(i for p in buck.pools for i in p.class_ids)
+    assert all_ids == sorted(flat.class_ids)
+    for p in buck.pools:
+        counts = np.asarray(p.valid).sum(axis=1)
+        assert p.tp.shape[1] % 128 == 0
+        assert counts.max() <= p.tp.shape[1]
+    assert buck.num_images == flat.num_images
+    assert buck.num_iou_thresholds == flat.num_iou_thresholds
+
+    n = len(labels)
+    masks = rng.random((5, n)) < 0.5
+    for k in range(5):
+        a = float(dataset_map(flat, jnp.asarray(masks[k])))
+        b = float(dataset_map(buck, jnp.asarray(masks[k])))
+        assert b == pytest.approx(a, abs=2e-6)
+    # per-threshold entry point
+    m0 = jnp.asarray(masks[0])
+    ones = jnp.ones((n,), bool)
+    pt_a = np.asarray(mk.map_per_threshold(flat, ~m0, m0, ones))
+    pt_b = np.asarray(mk.map_per_threshold(buck, ~m0, m0, ones))
+    np.testing.assert_allclose(pt_b, pt_a, atol=2e-6)
+    # ORIE rewards through the jitted batch
+    idx = jnp.arange(12, dtype=jnp.int32)
+    key = jax.random.PRNGKey(9)
+    ra = np.asarray(_orie_batch(flat, idx, key, 8))
+    rb = np.asarray(_orie_batch(buck, idx, key, 8))
+    np.testing.assert_allclose(rb, ra, atol=3e-5)
+
+
+def test_bucketed_pool_oracle_fuzz():
+    """Bucketed mAP vs the independent NumPy oracle (same contract as the
+    flat-pool fuzz tests)."""
+    rng = np.random.default_rng(47)
+    weak, strong, labels = make_random_dataset(rng, n_img=16)
+    _skew_class0(weak, rng, n=140)
+    pool = build_pool(weak, strong, labels, buckets=2)
+    from edgeml_tpu.ops.map_kernel import BucketedPool
+
+    assert isinstance(pool, BucketedPool)
+    n = len(labels)
+    for s in range(3):
+        wsel = rng.random(n) < 0.6
+        ssel = rng.random(n) < 0.4
+        lsel = wsel | ssel
+        got = float(
+            map_from_masks(
+                pool, jnp.asarray(wsel), jnp.asarray(ssel), jnp.asarray(lsel)
+            )
+        )
+        want = masked_map(weak, strong, labels, wsel, ssel, lsel)
+        assert got == pytest.approx(want, abs=2e-5)
