@@ -12,4 +12,6 @@ run() {
 }
 run python tools/exp_trunkstages.py 128 16
 run python tools/exp_mm1x1.py 128 8 16
+run python tools/exp_bucket.py 2048 5000
+run python tools/exp_trainbatch.py 8
 echo "session done: $LOG"
