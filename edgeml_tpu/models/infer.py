@@ -323,9 +323,9 @@ def _detect_generic(net, params, stats, images, conf_thres, iou_thres,
         from .retinanet import retina_anchors, retina_postprocess
 
         if dtype is not None:
+            # no full-matrix f32 cast: retina_postprocess's raw tail casts
+            # only its 2048 gathered rows (bit-identical detections)
             cls_logits, reg = net.apply(cast(params), images.astype(dtype))
-            cls_logits = cls_logits.astype(jnp.float32)
-            reg = reg.astype(jnp.float32)
         else:
             cls_logits, reg = net.apply(params, images)
         anchors = jnp.asarray(retina_anchors(net.image_size))

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.metrics import box_iou_safe
-from ..ops.nms import nms_split_batch
+from ..ops.nms import nms_split_batch, topk1d
 from .common import conv2d, conv_init
 from .resnet import ResNet50FPN
 
@@ -134,10 +134,12 @@ class RetinaNet:
 
     @staticmethod
     def decode_boxes(reg, anchors):
-        acx = (anchors[:, 0] + anchors[:, 2]) * 0.5
-        acy = (anchors[:, 1] + anchors[:, 3]) * 0.5
-        aw = anchors[:, 2] - anchors[:, 0]
-        ah = anchors[:, 3] - anchors[:, 1]
+        # anchors: (A, 4) broadcast against (B, A, 4) reg, or pre-gathered
+        # (B, K, 4) rows (the RETINA_RAW tail) — same arithmetic either way
+        acx = (anchors[..., 0] + anchors[..., 2]) * 0.5
+        acy = (anchors[..., 1] + anchors[..., 3]) * 0.5
+        aw = anchors[..., 2] - anchors[..., 0]
+        ah = anchors[..., 3] - anchors[..., 1]
         cx = reg[..., 0] * aw + acx
         cy = reg[..., 1] * ah + acy
         w = jnp.exp(jnp.clip(reg[..., 2], None, math.log(1000.0 / 16))) * aw
@@ -208,6 +210,29 @@ def retina_loss(net: RetinaNet, cls_logits, reg, anchors, gt_boxes, gt_cls, gt_v
     return total, {"classification": jnp.mean(cls_l), "bbox_regression": jnp.mean(box_l)}
 
 
+RETINA_RAW = True
+"""Raw-logit tail (trace-time knob; clear retina_postprocess's cache when
+flipping). The dense tail computes sigmoid over the FULL (B, A=76,725,
+C=91) logit matrix plus a full A-row box decode, although the exact pair
+ranking (ops/nms.py _rank_pairs_exact) only ever reads its top
+max_cand=2048 boxes. The raw tail hoists that box prefilter in FRONT of
+the transcendentals: rank sigmoid(rowmax(logits)) — bit-equal to
+max(sigmoid(logits)) because sigmoid is monotone and rounding preserves
+order (the ops/nms_raw.py argument) — keep the top-2048 rows per image
+with the same chunked topk1d the dense path's prefilter uses, and run
+sigmoid/decode/NMS on rows only. f32 detections are bit-identical (the
+same values flow through the same selection in the same order — the inner
+prefilter re-ranks an already-ranked 2048-row set); bf16 head outputs keep
+bit-identical selection/scores/classes with ~1 f32 ulp box-coordinate
+drift (the bf16->f32 convert fuses into the decode arithmetic differently
+for full-matrix vs gathered-row consumers — the same consumer-dependent
+rounding contract as ops/nms_raw.py). Pinned by
+tests/test_retinanet.py::test_retina_raw_tail_bit_exact. A/B:
+tools/exp_retinaraw.py."""
+
+RETINA_PRE = 2048  # raw-tail box prefilter width == the NMS max_cand
+
+
 @partial(jax.jit, static_argnames=("net", "max_det", "nms_thresh"))
 def retina_postprocess(
     net: RetinaNet,
@@ -219,7 +244,26 @@ def retina_postprocess(
     max_det: int = 300,
 ):
     """Sigmoid scores -> threshold -> decode -> class-aware NMS.
-    Returns (dets (B, max_det, 6) [x1,y1,x2,y2,score,cls], valid)."""
+    Returns (dets (B, max_det, 6) [x1,y1,x2,y2,score,cls], valid).
+    Accepts bf16 logits/reg (the serving trunk's output dtype): the raw
+    tail casts only the 2048 gathered rows to f32, exactly where the dense
+    path cast the full matrices (models/infer.py _detect_generic)."""
+    if RETINA_RAW and cls_logits.shape[1] > RETINA_PRE:
+        kb = RETINA_PRE
+        rowmax = jnp.max(cls_logits, axis=-1)  # exact in any dtype
+        score = jax.nn.sigmoid(rowmax.astype(jnp.float32))  # (B, A)
+        box_score = jnp.where(score > score_thresh, score, -1.0)
+        _, idx = jax.vmap(lambda s: topk1d(s, kb, chunk=10240))(box_score)
+        cls_logits = jnp.take_along_axis(
+            cls_logits, idx[..., None], axis=1
+        ).astype(jnp.float32)
+        reg = jnp.take_along_axis(reg, idx[..., None], axis=1).astype(
+            jnp.float32
+        )
+        anchors = anchors[idx]  # (B, kb, 4) — decode_boxes broadcasts
+    else:
+        cls_logits = cls_logits.astype(jnp.float32)
+        reg = reg.astype(jnp.float32)
     scores = jax.nn.sigmoid(cls_logits)
     boxes = net.decode_boxes(reg, anchors)
     boxes = jnp.clip(boxes, 0.0, net.image_size)

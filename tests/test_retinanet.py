@@ -70,3 +70,45 @@ def test_retina_forward_loss_postprocess():
     dets, valid = retina_postprocess(net, cls, reg, anchors, max_det=16)
     assert dets.shape == (1, 16, 6)
     assert np.isfinite(np.asarray(dets)).all()
+
+
+def test_retina_raw_tail_bit_exact():
+    """RETINA_RAW prefilter-first tail vs the dense sigmoid/decode-
+    everything path: BIT-identical detections in f32; from bf16 head
+    outputs, selection/scores/classes stay bit-identical and box
+    coordinates may drift ~1 f32 ulp (XLA fuses the bf16->f32 convert into
+    the decode arithmetic differently for full-matrix vs gathered-row
+    consumers — the same consumer-dependent-rounding contract as the YOLO
+    bf16 raw tail, ops/nms_raw.py). The ranking argument: sigmoid(rowmax)
+    is bit-equal to max(sigmoid) (monotone + rounding preserves order),
+    ranked with the same chunked topk1d."""
+    import edgeml_tpu.models.retinanet as rn
+
+    rng = np.random.default_rng(3)
+    a, c = 4096, 7
+    net = RetinaNet(num_classes=c, image_size=256)
+    anchors = jnp.asarray(
+        np.sort(rng.uniform(0, 256, (a, 2, 2)), axis=1).reshape(a, 4)[
+            :, [0, 2, 1, 3]
+        ].astype(np.float32)
+    )
+    for dt in (jnp.float32, jnp.bfloat16):
+        cls = jnp.asarray(rng.normal(-4, 2, (2, a, c)).astype(np.float32))
+        reg = jnp.asarray(rng.normal(0, 0.2, (2, a, 4)).astype(np.float32))
+        cls, reg = cls.astype(dt), reg.astype(dt)
+        assert rn.RETINA_RAW and a > rn.RETINA_PRE
+        d1, v1 = retina_postprocess(net, cls, reg, anchors, max_det=32)
+        rn.RETINA_RAW = False
+        retina_postprocess.clear_cache()
+        try:
+            d0, v0 = retina_postprocess(net, cls, reg, anchors, max_det=32)
+        finally:
+            rn.RETINA_RAW = True
+            retina_postprocess.clear_cache()
+        d1, d0 = np.asarray(d1), np.asarray(d0)
+        np.testing.assert_array_equal(np.asarray(v1), np.asarray(v0))
+        np.testing.assert_array_equal(d1[..., 4:], d0[..., 4:])  # score, cls
+        if dt == jnp.float32:
+            np.testing.assert_array_equal(d1, d0)
+        else:
+            np.testing.assert_allclose(d1[..., :4], d0[..., :4], rtol=1e-5)
