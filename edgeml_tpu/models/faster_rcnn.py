@@ -151,11 +151,20 @@ halves that; the pooled output still upcasts to the head dtype after the
 sampling mean. Accuracy rides the same divergence bound as ROI_PYR
 (test_roi_pyr_bf16_close covers both). Off => always weight in f32."""
 
-ROI_CHUNK = 128
-"""Proposals per RoIAlign lax.map step (trace-time). 128 bounds the live
-bilinear expansion (docstring above) to ~0.8 GB at B=16 f32; larger chunks
-amortize per-step overhead at more live memory. r4 note: the UNCHUNKED
-form OOMed the 16 GB chip."""
+ROI_CHUNK = 1000
+"""SERVING proposals per RoIAlign lax.map step (trace-time). 1000 (= the
+full proposal set, i.e. UNCHUNKED) is the r5 default: the bf16 pyramid
+(ROI_PYR) halves the live bilinear expansion that OOMed the unchunked
+f32 form in round 4, and unchunked measured +7% at every serving shape
+(r5e/r5i exp_roialign4/5: B=8 f32 103->96 ms; B=16 f32 207->193; B=16
+bf16 199->185; no OOM at B=16). Applies to detect only: training
+(rcnn_loss) pins ROI_CHUNK_TRAIN — its pyramid stays f32 and the backward
+pass roughly doubles the live expansion, the exact combination that
+OOMed."""
+
+ROI_CHUNK_TRAIN = 128
+"""Training RoIAlign chunk (rcnn_loss.py): the round-4 memory-safe
+setting, kept for the f32-pyramid + gradient path."""
 
 ROI_HEAD = None
 """SERVING box-head compute dtype (trace-time knob, detect only). "bf16"
@@ -488,13 +497,13 @@ class FasterRCNN:
         return boxes, jnp.where(kept, p, -jnp.inf)
 
     def run_box_head(self, params, feats, boxes, pyr_dtype=None,
-                     head_dtype=None):
+                     head_dtype=None, chunk=None):
         """RoIAlign + head for one image's (P, 4) proposals ->
         (cls_logits (P, C), deltas (P, C, 4)). pyr_dtype/head_dtype are the
         serving-only ROI_PYR / ROI_HEAD overrides (detect passes them;
-        training leaves both None)."""
+        training leaves both None and pins chunk=ROI_CHUNK_TRAIN)."""
         pooled = roi_align_fpn(feats, boxes, self.image_size,
-                               pyr_dtype=pyr_dtype)  # (P, 7, 7, C)
+                               chunk=chunk, pyr_dtype=pyr_dtype)
         bh = params["box_head"]
         if head_dtype is not None:
             bh = jax.tree_util.tree_map(

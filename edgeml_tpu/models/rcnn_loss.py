@@ -96,7 +96,13 @@ def roi_head_loss(net: FasterRCNN, key, params, feats, proposals, prop_valid,
     midx = best_gt[idx]
     labels = jnp.where(pos[idx], gt_cls[midx], 0)
 
-    cls_logits, reg = net.run_box_head(params, feats, sel_boxes)
+    # chunked RoIAlign: the training pyramid is f32 and the backward pass
+    # doubles the live bilinear expansion (faster_rcnn.ROI_CHUNK_TRAIN)
+    from .faster_rcnn import ROI_CHUNK_TRAIN
+
+    cls_logits, reg = net.run_box_head(
+        params, feats, sel_boxes, chunk=ROI_CHUNK_TRAIN
+    )
     # AMP: head outputs may be bf16 — all loss math stays f32 (no-op when
     # the walk already runs f32)
     cls_logits = cls_logits.astype(jnp.float32)
