@@ -14,4 +14,5 @@ run python tools/exp_trunkstages.py 128 16
 run python tools/exp_mm1x1.py 128 8 16
 run python tools/exp_bucket.py 2048 5000
 run python tools/exp_trainbatch.py 8
+run python tools/exp_retinaraw.py 16 8
 echo "session done: $LOG"
